@@ -1,0 +1,226 @@
+"""MADELEINE multistain slide encoder — functional JAX core.
+
+Re-implements the reference MADELEINE module (ref: madeleine/models/Model.py:45-216)
+as pure functions over a parameter pytree:
+
+  feats [bs, n_mod, n_tok, d] --(optional stain encodings, Model.py:125-132)-->
+  ABMIL embedder (models/abmil.py) -->
+    slide path: pooled [*, e, nh] -> flatten(e*nh) -> projector -> 512-d
+    token path: per-head token feats -> flatten(e*nh) -> token_projector -> 128-d
+
+Differences from the reference (all TPU-motivated, none semantic):
+  - train forward returns dense arrays [bs, n_mod, ...] instead of per-modality
+    dicts with the HE tensor replicated across a trailing stain axis
+    (ref: Model.py:149-159) — the losses index modalities directly, the
+    replication was only pairing sugar. `forward_train_dict` restores the
+    reference's dict surface for API parity.
+  - every path takes an optional [bs, t] (or [bs, n_mod, t]) validity mask so
+    ragged bags run as padded batches instead of per-slide bs=1 loops
+    (ref: setup_components.py:162-168 pins downstream batch_size=1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from madeleine_tpu.config import HE_POSITION, MadeleineConfig
+from madeleine_tpu.models.abmil import (
+    _init_linear,
+    abmil_embed,
+    init_abmil_params,
+)
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_madeleine_params(rng, cfg: MadeleineConfig, dtype=jnp.float32) -> Params:
+    """Full parameter pytree.
+
+    Mirrors reference module names for the checkpoint bridge:
+      wsi_embedders.*    (ref: Model.py:85)
+      token_projector    Linear(hidden*nh -> 128)  (ref: Model.py:80-83)
+      projector          Linear(hidden*nh -> hidden) (ref: Model.py:88-91)
+      embedding          stain-encoding table [n_mod, 32] (ref: Model.py:55)
+    """
+    if cfg.wsi_encoder != "abmil":
+        raise ValueError(f'Unsupported wsi_encoder. Must be "abmil". Now is {cfg.wsi_encoder}.')
+    k_emb, k_tok, k_proj, k_stain = jax.random.split(rng, 4)
+    hidden = cfg.wsi_encoder_hidden_dim
+    nh = cfg.n_heads
+    params: Params = {
+        "wsi_embedders": init_abmil_params(
+            k_emb,
+            input_dim=cfg.input_dim,
+            hidden_dim=hidden,
+            n_heads=nh,
+            attn_hidden_dim=cfg.attention_hidden_dim,
+            dtype=dtype,
+        ),
+        "token_projector": _init_linear(k_tok, hidden * nh, cfg.token_proj_dim, dtype),
+        "projector": _init_linear(k_proj, hidden * nh, hidden, dtype),
+    }
+    if cfg.add_stain_encoding:
+        params["embedding"] = {
+            "table": jax.random.normal(
+                k_stain, (cfg.n_modalities, cfg.stain_encoding_dim), dtype)
+        }
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Helpers
+# ---------------------------------------------------------------------------
+
+def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
+
+
+def _append_stain_encoding(params, feats: jnp.ndarray, stain_idx) -> jnp.ndarray:
+    """Concat the learned per-stain code to every patch feature
+    (ref: Model.py:125-132,177-189). feats [..., t, d]; stain_idx scalar or [n]."""
+    table = params["embedding"]["table"]
+    enc = jnp.take(table, jnp.asarray(stain_idx), axis=0)  # [..., se_dim]
+    enc = jnp.broadcast_to(
+        jnp.expand_dims(enc, -2), (*feats.shape[:-1], table.shape[-1])
+    ).astype(feats.dtype)
+    return jnp.concatenate([feats, enc], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+def forward_train(
+    params: Params,
+    cfg: MadeleineConfig,
+    feats: jnp.ndarray,                    # [bs, n_mod, t, d]
+    *,
+    mask: Optional[jnp.ndarray] = None,    # [bs, n_mod, t] token validity
+    n_views: int = 1,
+    rng=None,                              # dropout + view rng (train mode)
+    train: bool = True,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Training forward (ref: Model.py:110-159).
+
+    Returns:
+      slide_embs:  [bs, n_mod, n_views, embed_dim]   (projector output)
+      token_embs:  [bs, n_mod, t, token_proj_dim]    (token_projector output)
+    """
+    bs, n_mod, t, d = feats.shape
+    x = feats.reshape(bs * n_mod, t, d)
+    m = None if mask is None else mask.reshape(bs * n_mod, t)
+
+    if cfg.add_stain_encoding:
+        # Stain id per flattened row. Documented deviation: the reference builds
+        # ids mod-major ([i]*bs per modality, Model.py:126-129) but flattens
+        # feats b-major (view(bs*n_mod, ...), Model.py:122), so its train-time
+        # stain encodings are misassigned whenever bs != 1; its eval path
+        # (Model.py:186) uses the correct per-stain id. We assign the correct
+        # b-major ids so train and eval agree.
+        stain_ids = jnp.tile(jnp.arange(n_mod), bs)
+        x = _append_stain_encoding(params, x, stain_ids)
+
+    if train and rng is not None:
+        drop_rng, view_rng = jax.random.split(rng)
+    else:
+        drop_rng, view_rng = None, (rng if rng is not None else jax.random.PRNGKey(0))
+
+    pooled, tokens = abmil_embed(
+        params["wsi_embedders"], x,
+        n_heads=cfg.n_heads, activation=cfg.activation, mask=m,
+        n_views=n_views, view_rng=view_rng, dropout_rng=drop_rng,
+        train=train, return_tokens=True, use_pallas=use_pallas,
+    )
+    if n_views == 1:
+        pooled = pooled[:, None]           # [bs*n_mod, 1, e, nh]
+
+    # token path: [bs*n_mod, t, e, nh] -> flatten heads -> 128-d (Model.py:138-140)
+    e, nh = tokens.shape[-2], tokens.shape[-1]
+    tok = tokens.reshape(bs, n_mod, t, e * nh)
+    token_embs = _linear(params["token_projector"], tok)
+
+    # slide path: flatten heads -> projector -> [bs, n_mod, n_views, e] (Model.py:143-146)
+    nv = pooled.shape[1]
+    slide = pooled.reshape(bs, n_mod, nv, e * nh)
+    slide_embs = _linear(params["projector"], slide)
+    return slide_embs, token_embs
+
+
+def forward_train_dict(params, cfg, feats, **kw):
+    """Reference-shaped output: {modality: emb} dicts, HE replicated on a
+    trailing stain axis (ref: Model.py:149-159). Thin wrapper for API parity."""
+    slide_embs, token_embs = forward_train(params, cfg, feats, **kw)
+    n_mod = len(cfg.MODALITIES)
+    wsi, tok = {}, {}
+    for idx, modality in enumerate(cfg.MODALITIES):
+        s, tk = slide_embs[:, idx], token_embs[:, idx]
+        if modality == "HE":
+            s = jnp.repeat(s[..., None], max(n_mod - 1, 1), axis=-1)
+            tk = jnp.repeat(tk[..., None], max(n_mod - 1, 1), axis=-1)
+        wsi[modality] = s
+        tok[modality] = tk
+    return wsi, tok
+
+
+def encode(
+    params: Params,
+    cfg: MadeleineConfig,
+    feats: jnp.ndarray,                    # [bs, t, d] single-stain bags
+    *,
+    stain_idx: int = HE_POSITION,
+    mask: Optional[jnp.ndarray] = None,    # [bs, t]
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Single-stain slide encoding -> [bs, embed_dim].
+
+    stain_idx=0 reproduces `encode_he` (ref: Model.py:97-107); other indices
+    reproduce the per-stain eval branch (ref: Model.py:162-203), including the
+    stain-encoding concat when enabled.
+    """
+    if cfg.add_stain_encoding:
+        feats = _append_stain_encoding(params, feats, stain_idx)
+    pooled = abmil_embed(
+        params["wsi_embedders"], feats,
+        n_heads=cfg.n_heads, activation=cfg.activation, mask=mask,
+        train=False, use_pallas=use_pallas,
+    )                                       # [bs, e, nh]
+    bs, e, nh = pooled.shape
+    return _linear(params["projector"], pooled.reshape(bs, e * nh))
+
+
+def encode_with_attention(
+    params: Params,
+    cfg: MadeleineConfig,
+    feats: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """HE encoding + raw attention logits (ref: Model.py:206-216)."""
+    if cfg.add_stain_encoding:
+        feats = _append_stain_encoding(params, feats, HE_POSITION)
+    pooled, raw_attn = abmil_embed(
+        params["wsi_embedders"], feats,
+        n_heads=cfg.n_heads, activation=cfg.activation, mask=mask,
+        train=False, return_attention=True, use_pallas=False,
+    )
+    bs, e, nh = pooled.shape
+    emb = _linear(params["projector"], pooled.reshape(bs, e * nh))
+    return emb, raw_attn
+
+
+# Convenience alias matching the reference method name.
+def encode_he(params, cfg, feats, *, mask=None, use_pallas=None):
+    return encode(params, cfg, feats, stain_idx=HE_POSITION, mask=mask,
+                  use_pallas=use_pallas)

@@ -1,0 +1,232 @@
+"""Masked attention pooling — the hot op of the slide encoder.
+
+Semantics (ref: madeleine/models/Model.py:406-417 + abmil.py:54-63): per-head
+softmax of raw attention logits over the token dim, then attention-weighted sum
+of the per-head token features:
+
+    pooled[b, e, h] = sum_t softmax_t(logits[b, :, h])[t] * x[b, t, e, h]
+
+This is a 1-query attention reduction, so it admits the flash-attention
+online-softmax recurrence: the Pallas kernel streams token blocks HBM->VMEM with
+running (max, scaled-sum, weighted-acc) state, giving O(block) on-chip memory for
+arbitrary bag length — the TPU-native replacement for the reference's
+subsample-to-2048 workaround (ref: wsi_dataset.py:42-50).
+
+Two paths:
+  - `_pool_reference`: pure JAX/XLA, differentiable, any activation. Used for
+    training and as the CPU/test fallback.
+  - `_pool_pallas`: fused streaming kernel (softmax activation), used on the
+    inference path where bags can be 10^3..10^5 tokens.
+
+Layout note: token features arrive as [b, t, e, nh] with head minor (the
+reference's 'b t (e c)' split, Model.py:396). The kernel consumes the flat
+[b, t, E=e*nh] view so the lane dimension stays wide and contiguous; the
+per-head softmax weights are tiled lane-wise (pattern [p0..p_{nh-1}] * e) to
+match that interleaved layout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30  # finite mask fill: keeps the online-softmax recurrence NaN-free
+
+
+def _normalize_mask(mask: Optional[jnp.ndarray], b: int, t: int) -> Optional[jnp.ndarray]:
+    """Broadcast any of [t], [1,t], [b,t] to [b, t] bool."""
+    if mask is None:
+        return None
+    mask = jnp.asarray(mask, bool)
+    if mask.ndim == 1:
+        mask = mask[None, :]
+    return jnp.broadcast_to(mask, (b, t))
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX reference path (differentiable, any activation)
+# ---------------------------------------------------------------------------
+
+def _pool_reference(
+    xh: jnp.ndarray,          # [b, t, e, nh]
+    logits: jnp.ndarray,      # [b, t, nh]
+    mask: Optional[jnp.ndarray],   # [b, t] or None
+    activation: str,
+) -> jnp.ndarray:
+    from madeleine_tpu.models.abmil import activate_attention
+
+    m = None if mask is None else mask[..., None]  # [b, t, 1] over heads
+    attn = activate_attention(logits, activation, m, axis=-2)  # token axis
+    pooled = jnp.einsum(
+        "bteh,bth->beh", xh.astype(jnp.float32), attn.astype(jnp.float32)
+    )
+    return pooled.astype(xh.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas streaming kernel (softmax)
+# ---------------------------------------------------------------------------
+
+def _head_expand_matrix(e: int, nh: int) -> jnp.ndarray:
+    """M [nh, E] with M[h, i] = (i % nh == h): `v @ M` tiles a per-head vector
+    [*, nh] to the interleaved head-minor feature layout [*, E] as one small
+    matmul — Mosaic-friendly (lane-splitting reshapes are not supported)."""
+    E = e * nh
+    col = jax.lax.broadcasted_iota(jnp.int32, (nh, E), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (nh, E), 0)
+    return (col % nh == row).astype(jnp.float32)
+
+
+def _pool_kernel(x_ref, l_ref, o_ref, m_acc, s_acc, w_acc, *, e: int, nh: int):
+    """Grid = (b, num_t_blocks); t innermost so VMEM accumulators carry.
+
+    x_ref: [1, T_BLK, E] token features (E = e*nh, head-minor)
+    l_ref: [1, T_BLK, nh] pre-masked logits (padding already filled w/ NEG_INF)
+    o_ref: [1, 1, E] pooled output (written on the last t block)
+    scratch: m_acc [1, nh] running max, s_acc [1, nh] running denom,
+             w_acc [1, E] running weighted sum (all fp32)
+    """
+    tb = pl.program_id(1)
+
+    @pl.when(tb == 0)
+    def _init():
+        m_acc[...] = jnp.full_like(m_acc, NEG_INF)
+        s_acc[...] = jnp.zeros_like(s_acc)
+        w_acc[...] = jnp.zeros_like(w_acc)
+
+    l = l_ref[0].astype(jnp.float32)                     # [T, nh]
+    m_old = m_acc[...]                                   # [1, nh]
+    m_new = jnp.maximum(m_old, jnp.max(l, axis=0, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)                       # [1, nh]
+    p = jnp.exp(l - m_new)                               # [T, nh]
+
+    x = x_ref[0].astype(jnp.float32)                     # [T, E]
+    M = _head_expand_matrix(e, nh)                       # [nh, E]
+    p_e = jnp.dot(p, M, preferred_element_type=jnp.float32)        # [T, E]
+    alpha_e = jnp.dot(alpha, M, preferred_element_type=jnp.float32)  # [1, E]
+
+    m_acc[...] = m_new
+    s_acc[...] = s_acc[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
+    w_acc[...] = w_acc[...] * alpha_e + jnp.sum(x * p_e, axis=0, keepdims=True)
+
+    @pl.when(tb == pl.num_programs(1) - 1)
+    def _finalize():
+        s = jnp.maximum(s_acc[...], 1e-30)               # [1, nh]
+        s_e = jnp.dot(s, _head_expand_matrix(e, nh),
+                      preferred_element_type=jnp.float32)
+        o_ref[0] = (w_acc[...] / s_e).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("e", "nh", "t_block"))
+def _pool_pallas(y: jnp.ndarray, logits_masked: jnp.ndarray, *, e: int, nh: int,
+                 t_block: int) -> jnp.ndarray:
+    """y: [b, t, E], logits_masked: [b, t, nh] -> pooled [b, 1, E]."""
+    b, t, E = y.shape
+    nt = pl.cdiv(t, t_block)
+    # Pad t so every block is full; padded logits get NEG_INF -> zero weight.
+    t_pad = nt * t_block - t
+    if t_pad:
+        y = jnp.pad(y, ((0, 0), (0, t_pad), (0, 0)))
+        logits_masked = jnp.pad(logits_masked, ((0, 0), (0, t_pad), (0, 0)),
+                                constant_values=NEG_INF)
+
+    grid = (b, nt)
+    kernel = functools.partial(_pool_kernel, e=e, nh=nh)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t_block, E), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_block, nh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, E), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, E), y.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, nh), jnp.float32),
+            pltpu.VMEM((1, nh), jnp.float32),
+            pltpu.VMEM((1, E), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (t + t_pad) * E,
+            bytes_accessed=y.size * y.dtype.itemsize + b * E * 4,
+            transcendentals=b * (t + t_pad) * nh,
+        ),
+    )(y, logits_masked)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+def masked_attention_pool(
+    xh: jnp.ndarray,               # [b, t, e, nh]
+    logits: jnp.ndarray,           # [b, t, nh]
+    mask: Optional[jnp.ndarray] = None,   # [b, t] / [1, t] / [t]
+    activation: str = "softmax",
+    use_pallas: Optional[bool] = None,
+    t_block: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Attention-pool token features per head. Returns [b, e, nh].
+
+    `use_pallas=None` auto-selects: fused kernel on TPU for softmax activation,
+    pure-XLA fallback elsewhere (CPU tests, non-softmax activations, AD).
+    """
+    b, t, e, nh = xh.shape
+    mask = _normalize_mask(mask, b, t)
+
+    if use_pallas is None:
+        use_pallas = (activation == "softmax" and jax.default_backend() == "tpu")
+    if activation != "softmax":
+        use_pallas = False
+
+    if not use_pallas and not interpret:
+        return _pool_reference(xh, logits, mask, activation)
+
+    l32 = logits.astype(jnp.float32)
+    if mask is not None:
+        l32 = jnp.where(mask[..., None], l32, NEG_INF)
+    y = xh.reshape(b, t, e * nh)
+    tb = min(t_block, max(8, t))
+    if interpret:
+        pooled = _pool_pallas_interpret(y, l32, e=e, nh=nh, t_block=tb)
+    else:
+        pooled = _pool_pallas(y, l32, e=e, nh=nh, t_block=tb)
+    return pooled.reshape(b, e, nh)
+
+
+def _pool_pallas_interpret(y, logits_masked, *, e, nh, t_block):
+    """Interpreter-mode twin of _pool_pallas for CPU tests."""
+    b, t, E = y.shape
+    nt = pl.cdiv(t, t_block)
+    t_pad = nt * t_block - t
+    if t_pad:
+        y = jnp.pad(y, ((0, 0), (0, t_pad), (0, 0)))
+        logits_masked = jnp.pad(logits_masked, ((0, 0), (0, t_pad), (0, 0)),
+                                constant_values=NEG_INF)
+    kernel = functools.partial(_pool_kernel, e=e, nh=nh)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, t_block, E), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, t_block, nh), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, E), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, E), y.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, nh), jnp.float32),
+            pltpu.VMEM((1, nh), jnp.float32),
+            pltpu.VMEM((1, E), jnp.float32),
+        ],
+        interpret=True,
+    )(y, logits_masked)
