@@ -1,0 +1,105 @@
+"""Slide-embedding inference driver (ref: madeleine/utils/utils.py:27-90).
+
+TPU redesign: instead of a bs=1 python loop per slide, bags stream through
+`BucketedBagLoader` as padded/masked batches and one jitted encode function
+serves all bucket shapes (XLA caches one executable per shape). Host IO is
+overlapped with device compute via the threaded Prefetcher.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madeleine_tpu.config import MadeleineConfig, compute_dtype
+from madeleine_tpu.data.datasets import BucketedBagLoader, Prefetcher
+from madeleine_tpu.models import madeleine as mtm
+from madeleine_tpu.ops.rank import smooth_rank_measure
+from madeleine_tpu.utils.file_utils import save_pkl
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "stain_idx"))
+def _encode_jit(params, feats, mask, *, cfg: "HashableCfg", stain_idx: int):
+    return mtm.encode(params, cfg.cfg, feats, stain_idx=stain_idx, mask=mask)
+
+
+class HashableCfg:
+    """Static-arg wrapper: configs hash by identity so jit caches per config."""
+
+    def __init__(self, cfg: MadeleineConfig):
+        self.cfg = cfg
+
+    def __hash__(self):
+        return id(self.cfg)
+
+    def __eq__(self, other):
+        return isinstance(other, HashableCfg) and other.cfg is self.cfg
+
+
+def run_inference(
+    params,
+    cfg: MadeleineConfig,
+    loader,
+    *,
+    stain_idx: int = 0,
+    dtype=None,
+    verbose: bool = True,
+) -> Tuple[Dict, float]:
+    """Encode every bag the loader yields -> ({"embeds", "slide_ids"}, rank)
+    (ref: utils.py:27-66)."""
+    dtype = dtype or compute_dtype(cfg.precision)
+    hcfg = HashableCfg(cfg)
+    all_embeds, all_ids = [], []
+    n_done, t0 = 0, time.time()
+    for batch in Prefetcher(loader):
+        feats = jnp.asarray(batch["feats"], dtype)
+        mask = jnp.asarray(batch["mask"])
+        emb = _encode_jit(params, feats, mask, cfg=hcfg, stain_idx=stain_idx)
+        emb = np.asarray(emb.astype(jnp.float32))
+        n_valid = batch.get("n_valid", len(batch["slide_ids"]))
+        all_embeds.append(emb[:n_valid])
+        all_ids.extend(batch["slide_ids"])
+        n_done += n_valid
+    elapsed = time.time() - t0
+    embeds = np.concatenate(all_embeds, axis=0) if all_embeds else np.zeros((0, cfg.embed_dim))
+    rank = float(smooth_rank_measure(jnp.asarray(embeds))) if len(embeds) > 1 else 0.0
+    if verbose:
+        print(f"* Encoded {n_done} slides in {elapsed:.2f}s "
+              f"({n_done / max(elapsed, 1e-9):.1f} slides/sec), rank={rank:.2f}")
+    return {"embeds": embeds, "slide_ids": all_ids}, rank
+
+
+def get_downstream_loader(path: str, buckets=None,
+                          tokens_per_batch: int = 262144) -> BucketedBagLoader:
+    """Loader over ``<path>/patch_embeddings`` bag files
+    (ref: bin/extract_slide_embeddings.py:21-29)."""
+    feat_dir = os.path.join(path, "patch_embeddings")
+    if not os.path.isdir(feat_dir):
+        feat_dir = path
+    kwargs = {}
+    if buckets is not None:
+        kwargs["buckets"] = buckets
+    return BucketedBagLoader(feat_dir, tokens_per_batch=tokens_per_batch, **kwargs)
+
+
+def extract_slide_level_embeddings(
+    params, cfg: MadeleineConfig, val_loaders: Dict[str, BucketedBagLoader],
+    save_dir: Optional[str] = None,
+) -> Dict[str, Dict]:
+    """Loop datasets -> {name}.pkl results dicts (ref: utils.py:68-90)."""
+    results = {}
+    for name, loader in val_loaders.items():
+        print(f"\n* Extracting slide-level embeddings of {name}")
+        res, rank = run_inference(params, cfg, loader)
+        print(f"Rank for {name} = {rank}")
+        results[name] = res
+        if save_dir is not None:
+            os.makedirs(save_dir, exist_ok=True)
+            save_pkl(os.path.join(save_dir, f"{name}.pkl"), res)
+    return results

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 _EPS_NORM = 1e-12
+_NEG_INF = -1e30  # finite mask fill — keeps gradients NaN-free under jnp.where
 
 
 def _l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
@@ -53,9 +54,8 @@ def _l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 def _masked_ce_diag(logits: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     """Mean CE with diagonal labels; invalid rows dropped, invalid columns
     excluded from the denominator. Equivalent to subsetting valid entries."""
-    n = logits.shape[0]
     if mask is not None:
-        logits = jnp.where(mask[None, :], logits, -jnp.inf)
+        logits = jnp.where(mask[None, :], logits, _NEG_INF)
     lse = jax.nn.logsumexp(logits, axis=1)
     diag = jnp.diagonal(logits)
     ce = lse - diag

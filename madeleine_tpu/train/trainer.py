@@ -1,0 +1,236 @@
+"""Training loop — one jitted train step, mesh data parallelism.
+
+Re-implements the reference trainer (ref: madeleine/utils/trainer.py:20-145)
+as a single donated-state jitted step:
+
+- per-stain masked losses replace the reference's boolean-subset indexing
+  (trainer.py:25-33): masked InfoNCE/GOT over the full static batch is
+  mathematically identical to subsetting (see ops/losses.py) and jit-friendly;
+- the "skip batch with only HE" python `continue` (trainer.py:120-122) becomes
+  a lax.cond-gated optimizer update — the step is a no-op (state unchanged)
+  when no stain has >=2 valid cases, matching reference semantics without
+  retracing;
+- batch-dim sharding over a `jax.sharding.Mesh`: XLA inserts the all-gathers
+  for the cross-shard InfoNCE logits and the psums for gradients (the
+  DataParallel replacement, SURVEY §2b) — the contrastive negative set is the
+  global batch, as in the reference where DataParallel gathers outputs to one
+  GPU before the loss;
+- the epoch smooth-rank on HE embeddings (trainer.py:141-143) is computed from
+  per-step HE embeddings the step already produces.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from madeleine_tpu.config import HE_POSITION, MadeleineConfig, compute_dtype
+from madeleine_tpu.models import madeleine as mtm
+from madeleine_tpu.ops import losses as L
+from madeleine_tpu.ops.rank import smooth_rank_measure
+
+WHOLE_VIEW_POSITION = 0  # ref: trainer.py:16
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Loss assembly (ref: trainer.py:20-77)
+# ---------------------------------------------------------------------------
+
+def compute_losses(
+    cfg: MadeleineConfig,
+    slide_embs: jnp.ndarray,      # [bs, n_mod, n_views, e]
+    token_embs: jnp.ndarray,      # [bs, n_mod, t, 128]
+    modality_labels: jnp.ndarray, # [bs, n_mod] float/bool
+    sample_mask: Optional[jnp.ndarray],  # [bs] bool (batch padding)
+    rng,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Returns (total_loss, any_stain_flag, metrics)."""
+    n_mod = slide_embs.shape[1]
+    use_global = cfg.global_loss == "info-nce"
+    use_local = cfg.local_loss == "got"
+    use_intra = cfg.intra_modality_loss == "info-nce"
+
+    he_whole = slide_embs[:, HE_POSITION, WHOLE_VIEW_POSITION]
+    total = jnp.zeros((), jnp.float32)
+    any_flag = jnp.zeros((), bool)
+    metrics: Dict[str, jnp.ndarray] = {}
+
+    got_rngs = jax.random.split(rng, n_mod)
+    for stain_idx in range(1, n_mod):
+        labels = modality_labels[:, stain_idx] > 0
+        if sample_mask is not None:
+            labels = labels & sample_mask
+        flag = jnp.sum(labels) > 1  # ref: trainer.py:26 (needs >=2 for CL)
+        stain_total = jnp.zeros((), jnp.float32)
+
+        if use_global:
+            g = L.info_nce(he_whole,
+                           slide_embs[:, stain_idx, WHOLE_VIEW_POSITION],
+                           temperature=cfg.temperature,
+                           symmetric=cfg.symmetric_cl, mask=labels)
+            stain_total += g
+        if use_local:
+            got = L.got_loss(token_embs[:, HE_POSITION],
+                             token_embs[:, stain_idx],
+                             sample_mask=labels,
+                             subsample=cfg.got_subsample,
+                             rng=got_rngs[stain_idx])
+            stain_total += cfg.local_loss_weight * got
+        if use_intra:
+            # two half-bag views of HE and of the stain (ref: trainer.py:51-66)
+            intra = L.make_intra_loss(cfg.intra_modality_mode_wsi,
+                                      cfg.temperature)
+            l_he = intra(slide_embs[:, HE_POSITION, 1],
+                         slide_embs[:, HE_POSITION, 2],
+                         mask=labels, symmetric=cfg.symmetric_cl)
+            l_st = intra(slide_embs[:, stain_idx, 1],
+                         slide_embs[:, stain_idx, 2],
+                         mask=labels, symmetric=cfg.symmetric_cl)
+            stain_total += l_he + l_st
+
+        total += jnp.where(flag, stain_total, 0.0)
+        any_flag = any_flag | flag
+        metrics[f"n_{cfg.MODALITIES[stain_idx]}"] = jnp.sum(labels)
+
+    return total, any_flag, metrics
+
+
+# ---------------------------------------------------------------------------
+# Train step
+# ---------------------------------------------------------------------------
+
+def make_train_step(cfg: MadeleineConfig, tx: optax.GradientTransformation,
+                    mesh=None, donate: bool = True):
+    """Build the jitted train step.
+
+    With a mesh, batch inputs are sharded on the leading axis and params are
+    replicated; XLA's SPMD partitioner inserts the collectives (all-gather for
+    the [B, B] contrastive logits, psum for grads).
+    """
+    n_views = 3 if cfg.intra_modality_loss == "info-nce" else 1
+    dtype = compute_dtype(cfg.precision)
+
+    def loss_fn(params, batch, rng):
+        drop_rng, loss_rng = jax.random.split(rng)
+        feats = batch["feats"].astype(dtype)
+        slide_embs, token_embs = mtm.forward_train(
+            params, cfg, feats, n_views=n_views, rng=drop_rng, train=True,
+            use_pallas=False)
+        total, any_flag, metrics = compute_losses(
+            cfg, slide_embs.astype(jnp.float32), token_embs,
+            batch["modality_labels"], batch.get("sample_mask"), loss_rng)
+        he_embs = slide_embs[:, HE_POSITION, WHOLE_VIEW_POSITION].astype(jnp.float32)
+        return total, (any_flag, he_embs, metrics)
+
+    def step_fn(state: TrainState, batch, rng):
+        (loss, (any_flag, he_embs, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, rng)
+
+        def do_update(_):
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(new_params, new_opt, state.step + 1)
+
+        def skip_update(_):
+            # batch had no usable stain pair: no-op, including the scheduler
+            # step count (ref python `continue`, trainer.py:120-122)
+            return state
+
+        new_state = jax.lax.cond(any_flag, do_update, skip_update, None)
+        metrics = dict(metrics, loss=loss, skipped=~any_flag)
+        return new_state, he_embs, metrics
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())      # params/opt state: replicated
+        data = NamedSharding(mesh, P("data"))  # batch: sharded on leading dim
+        return jax.jit(
+            step_fn,
+            # prefix pytrees: `repl` broadcasts over the whole state subtree
+            in_shardings=(
+                repl,
+                {"feats": data, "modality_labels": data, "sample_mask": data},
+                repl,
+            ),
+            out_shardings=(repl, data, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+# ---------------------------------------------------------------------------
+# Epoch loop (ref: trainer.py:80-145)
+# ---------------------------------------------------------------------------
+
+def train_loop(
+    cfg: MadeleineConfig,
+    train_step,
+    state: TrainState,
+    dataloader,
+    epoch: int,
+    rng_key,
+    mesh=None,
+    log_every: int = 0,
+) -> Tuple[TrainState, float, float, Dict[str, float]]:
+    """One epoch. Returns (state, epoch_loss, train_rank, agg_metrics)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ep_loss = 0.0
+    n_steps = 0
+    n_skipped = 0
+    all_embeds = []
+    t0 = time.time()
+
+    for b_idx, batch in enumerate(dataloader):
+        step_rng = jax.random.fold_in(jax.random.fold_in(rng_key, epoch), b_idx)
+        device_batch = {
+            "feats": jnp.asarray(batch["feats"]),
+            "modality_labels": jnp.asarray(batch["modality_labels"]),
+            "sample_mask": jnp.asarray(
+                batch.get("sample_mask",
+                          np.ones(batch["feats"].shape[0], bool))),
+        }
+        if mesh is not None:
+            data = NamedSharding(mesh, P("data"))
+            device_batch = {k: jax.device_put(v, data)
+                            for k, v in device_batch.items()}
+        state, he_embs, metrics = train_step(state, device_batch, step_rng)
+        loss = float(metrics["loss"])
+        skipped = bool(metrics["skipped"])
+        sm = np.asarray(batch.get("sample_mask",
+                                  np.ones(batch["feats"].shape[0], bool)))
+        all_embeds.append(np.asarray(he_embs)[sm])
+        if skipped:
+            n_skipped += 1
+        else:
+            ep_loss += loss
+            n_steps += 1
+        if log_every and (b_idx % log_every) == 0:
+            print(f"Loss for batch: {b_idx} = {loss:.3f}")
+
+    embeds = np.concatenate(all_embeds, axis=0) if all_embeds else np.zeros((2, 2))
+    rank = float(smooth_rank_measure(jnp.asarray(embeds)))
+    agg = {
+        "epoch_time": time.time() - t0,
+        "n_steps": n_steps,
+        "n_skipped": n_skipped,
+    }
+    return state, ep_loss, rank, agg
