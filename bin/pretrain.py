@@ -48,6 +48,13 @@ def main() -> None:
     print(f"* Running experiment {cfg.EXP_CODE}")
     print(f"* Results dir: {cfg.RESULTS_SAVE_PATH}")
 
+    from madeleine_tpu.utils.logging import MetricsLogger
+
+    logger = MetricsLogger(cfg.RESULTS_SAVE_PATH, use_wandb=cfg.log_ml,
+                           project=extras.get("wandb_project_name", "MADELEINE"),
+                           run_name=cfg.EXP_CODE, config=cfg.to_dict(),
+                           tags=[cfg.cohort])
+
     # ---- data -----------------------------------------------------------
     dataset = SlideDataset(
         dataset_name=cfg.dataset,
@@ -108,6 +115,10 @@ def main() -> None:
         print(f"Done with epoch {epoch}: loss={ep_loss:.3f} "
               f"rank={train_rank:.3f} time={time.time() - start:.1f}s "
               f"({agg['n_skipped']} skipped)")
+        logger.log({"train_loss": ep_loss, "train_rank": train_rank,
+                    "epoch_time": agg["epoch_time"],
+                    "n_skipped": agg["n_skipped"], "epoch": epoch},
+                   step=epoch)
 
         improved = epoch > MIN_CHECKPOINT_EPOCH and train_rank > best_rank
         if improved:
@@ -140,7 +151,9 @@ def main() -> None:
         name = os.path.basename(os.path.normpath(downstream)) or "downstream"
         save_pkl(os.path.join(cfg.RESULTS_SAVE_PATH, f"{name}.pkl"), res)
         print(f"Rank for {name} = {rank}")
+        logger.summary(f"{name}_rank", rank)
 
+    logger.close()
     print("\n" + 100 * "-" + "\nEnd of experiment, bye!\n" + 100 * "-")
 
 

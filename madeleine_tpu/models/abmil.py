@@ -35,6 +35,13 @@ PRE_ATTN_DROPOUT = 0.1   # ref: Model.py:354,358,362
 ATTN_DROPOUT = 0.25      # ref: abmil.py:34-35
 
 
+def dot_precision(dtype):
+    """HIGHEST for f32 operands: TPU's default matmul truncates f32 to bf16,
+    which breaks <=1e-4 checkpoint parity. bf16 operands are MXU-native, so the
+    default costs nothing there."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 # ---------------------------------------------------------------------------
 # Initialization (torch-compatible fan-in uniform, for training from scratch;
 # checkpoint loads overwrite these).
@@ -129,7 +136,8 @@ def pre_attn_mlp(
     rngs = jax.random.split(dropout_rng, 3) if (train and dropout_rng is not None) else (None,) * 3
     for i, rng in zip((1, 2, 3), rngs):
         fc, ln = p[f"fc{i}"], p[f"ln{i}"]
-        x = jnp.dot(x, fc["w"], preferred_element_type=x.dtype) + fc["b"]
+        x = jnp.dot(x, fc["w"], preferred_element_type=x.dtype,
+                    precision=dot_precision(x.dtype)) + fc["b"]
         x = layer_norm(x, ln)
         x = jax.nn.gelu(x, approximate=False)  # torch nn.GELU default = exact erf
         if rng is not None:
@@ -151,14 +159,18 @@ def gated_attention_logits(
     (ref: abmil.py:41-52 — tanh(Wa x) * sigmoid(Wb x) -> Linear -> logits,
     with Dropout(0.25) on each gate branch when training.)
     """
-    a = jnp.tanh(jnp.einsum("...eh,hef->...fh", xh, attn["wa"]) + attn["ba"].T)
-    b = jax.nn.sigmoid(jnp.einsum("...eh,hef->...fh", xh, attn["wb"]) + attn["bb"].T)
+    prec = dot_precision(xh.dtype)
+    a = jnp.tanh(jnp.einsum("...eh,hef->...fh", xh, attn["wa"],
+                            precision=prec) + attn["ba"].T)
+    b = jax.nn.sigmoid(jnp.einsum("...eh,hef->...fh", xh, attn["wb"],
+                                  precision=prec) + attn["bb"].T)
     if train and dropout_rng is not None:
         ra, rb = jax.random.split(dropout_rng)
         a = _dropout(a, ATTN_DROPOUT, ra)
         b = _dropout(b, ATTN_DROPOUT, rb)
     g = a * b
-    logits = jnp.einsum("...fh,hfo->...oh", g, attn["wc"]) + attn["bc"].T
+    logits = jnp.einsum("...fh,hfo->...oh", g, attn["wc"],
+                        precision=prec) + attn["bc"].T
     return logits.squeeze(-2)  # [..., t, n_heads]
 
 

@@ -30,6 +30,7 @@ from madeleine_tpu.config import HE_POSITION, MadeleineConfig
 from madeleine_tpu.models.abmil import (
     _init_linear,
     abmil_embed,
+    dot_precision,
     init_abmil_params,
 )
 
@@ -83,7 +84,8 @@ def param_count(params: Params) -> int:
 # ---------------------------------------------------------------------------
 
 def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
+    return jnp.dot(x, p["w"], preferred_element_type=x.dtype,
+                   precision=dot_precision(x.dtype)) + p["b"]
 
 
 def _append_stain_encoding(params, feats: jnp.ndarray, stain_idx) -> jnp.ndarray:

@@ -62,8 +62,11 @@ def _pool_reference(
 
     m = None if mask is None else mask[..., None]  # [b, t, 1] over heads
     attn = activate_attention(logits, activation, m, axis=-2)  # token axis
+    # HIGHEST: XLA lowers this to an MXU batched matmul whose default precision
+    # truncates f32 operands to bf16 (~1e-2 relative error on the pooled sums)
     pooled = jnp.einsum(
-        "bteh,bth->beh", xh.astype(jnp.float32), attn.astype(jnp.float32)
+        "bteh,bth->beh", xh.astype(jnp.float32), attn.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return pooled.astype(xh.dtype)
 
@@ -107,8 +110,12 @@ def _pool_kernel(x_ref, l_ref, o_ref, m_acc, s_acc, w_acc, *, e: int, nh: int):
 
     x = x_ref[0].astype(jnp.float32)                     # [T, E]
     M = _head_expand_matrix(e, nh)                       # [nh, E]
-    p_e = jnp.dot(p, M, preferred_element_type=jnp.float32)        # [T, E]
-    alpha_e = jnp.dot(alpha, M, preferred_element_type=jnp.float32)  # [1, E]
+    # HIGHEST precision: default TPU matmul truncates f32 operands to bf16,
+    # which corrupts the softmax weights by ~1e-2 relative
+    p_e = jnp.dot(p, M, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)             # [T, E]
+    alpha_e = jnp.dot(alpha, M, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)         # [1, E]
 
     m_acc[...] = m_new
     s_acc[...] = s_acc[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
@@ -118,7 +125,8 @@ def _pool_kernel(x_ref, l_ref, o_ref, m_acc, s_acc, w_acc, *, e: int, nh: int):
     def _finalize():
         s = jnp.maximum(s_acc[...], 1e-30)               # [1, nh]
         s_e = jnp.dot(s, _head_expand_matrix(e, nh),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         o_ref[0] = (w_acc[...] / s_e).astype(o_ref.dtype)
 
 

@@ -16,7 +16,9 @@ Re-implements the reference objective stack (ref: madeleine/utils/loss.py):
 
 Numerics: everything here runs in fp32 regardless of the model compute dtype —
 temperature 0.001 scales cosine logits by 1000x, and exp(-C/beta) with
-beta=0.5/0.1 underflows fast in bf16 (SURVEY §2b mixed-precision note).
+beta=0.5/0.1 underflows fast in bf16 (SURVEY §2b mixed-precision note). All
+contractions use Precision.HIGHEST: TPU's default matmul truncates f32 operands
+to bf16, which alone injects ~4.0 of absolute logit noise at temperature 0.001.
 
 Documented deviations from reference bugs:
 - GOT token subsampling: the reference draws `randperm(batch_size)[:256]` and
@@ -36,6 +38,8 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
 
 _EPS_NORM = 1e-12
 _NEG_INF = -1e30  # finite mask fill — keeps gradients NaN-free under jnp.where
@@ -83,9 +87,9 @@ def info_nce(
         nk = _l2_normalize(negative_keys.astype(jnp.float32))
         pos = jnp.sum(q * k, axis=1, keepdims=True)
         if negative_mode == "unpaired":
-            neg = q @ nk.T                       # [n, M]
+            neg = jnp.matmul(q, nk.T, precision=_HI)   # [n, M]
         elif negative_mode == "paired":
-            neg = jnp.einsum("nd,nmd->nm", q, nk)
+            neg = jnp.einsum("nd,nmd->nm", q, nk, precision=_HI)
         else:
             raise ValueError(f"bad negative_mode {negative_mode}")
         logits = jnp.concatenate([pos, neg], axis=1) / temperature
@@ -94,7 +98,7 @@ def info_nce(
             return jnp.mean(ce)
         return jnp.sum(jnp.where(mask, ce, 0.0)) / jnp.maximum(jnp.sum(mask), 1)
 
-    logits = (q @ k.T) / temperature
+    logits = jnp.matmul(q, k.T, precision=_HI) / temperature
     loss = _masked_ce_diag(logits, mask)
     if symmetric:
         loss = 0.5 * loss + 0.5 * _masked_ce_diag(logits.T, mask)
@@ -130,7 +134,7 @@ def cosine_cost(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     reference normalizes over the feature dim with +1e-12)."""
     xn = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + _EPS_NORM)
     yn = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + _EPS_NORM)
-    return 1.0 - jnp.einsum("bnd,bmd->bnm", xn, yn)
+    return 1.0 - jnp.einsum("bnd,bmd->bnm", xn, yn, precision=_HI)
 
 
 def _threshold_relu(C: jnp.ndarray, sample_mask: Optional[jnp.ndarray],
@@ -157,8 +161,8 @@ def ipot_plan(C: jnp.ndarray, beta: float = 0.5, iterations: int = 50) -> jnp.nd
     def body(_, carry):
         T, sigma = carry
         Q = A * T                                     # [b, n, m]
-        delta = 1.0 / (n * jnp.einsum("bnm,bmo->bno", Q, sigma))   # [b, n, 1]
-        a = jnp.einsum("bnm,bno->bmo", Q, delta)                   # [b, m, 1]
+        delta = 1.0 / (n * jnp.einsum("bnm,bmo->bno", Q, sigma, precision=_HI))
+        a = jnp.einsum("bnm,bno->bmo", Q, delta, precision=_HI)    # [b, m, 1]
         sigma = 1.0 / (m * a)
         T = delta * Q * jnp.swapaxes(sigma, 1, 2)
         return T, sigma
@@ -194,19 +198,21 @@ def gw_distance(
     q = jnp.full((b, m, 1), 1.0 / m, jnp.float32)
 
     # Cst = (Cs^2 p) 1_m^T + 1_n (q^T (Ct^2)^T)   (ref: loss.py:240-241)
-    cs2p = jnp.einsum("bnk,bko->bno", Cs ** 2, p)         # [b, n, 1]
-    qtct2 = jnp.einsum("bko,bmk->bom", q, Ct ** 2)        # [b, 1, m]
+    cs2p = jnp.einsum("bnk,bko->bno", Cs ** 2, p, precision=_HI)
+    qtct2 = jnp.einsum("bko,bmk->bom", q, Ct ** 2, precision=_HI)
     Cst = cs2p + qtct2                                    # broadcast outer sum
 
-    gamma0 = jnp.einsum("bno,bmo->bnm", p, q)             # outer product init
+    gamma0 = jnp.einsum("bno,bmo->bnm", p, q, precision=_HI)  # outer product
 
     def body(_, gamma):
-        C_gamma = Cst - 2.0 * jnp.einsum("bnk,bkl,bml->bnm", Cs, gamma, Ct)
+        C_gamma = Cst - 2.0 * jnp.einsum("bnk,bkl,bml->bnm", Cs, gamma, Ct,
+                                         precision=_HI)
         return ipot_plan(C_gamma, beta=lamda, iterations=ot_iterations)
 
     gamma = jax.lax.fori_loop(0, iterations, body, gamma0)
     gamma = jax.lax.stop_gradient(gamma)                  # ref: loss.py:248 .detach()
-    C_final = Cst - 2.0 * jnp.einsum("bnk,bkl,bml->bnm", Cs, gamma, Ct)
+    C_final = Cst - 2.0 * jnp.einsum("bnk,bkl,bml->bnm", Cs, gamma, Ct,
+                                     precision=_HI)
     return jnp.sum(C_final * gamma, axis=(1, 2))          # trace(Cgamma^T gamma)
 
 
