@@ -121,7 +121,10 @@ def info_nce_global(
     q = jax.lax.all_gather(query, axis_name, tiled=True)
     k = jax.lax.all_gather(positive_key, axis_name, tiled=True)
     m = None if mask is None else jax.lax.all_gather(mask, axis_name, tiled=True)
-    return info_nce(q, k, temperature=temperature, symmetric=symmetric, mask=m)
+    loss = info_nce(q, k, temperature=temperature, symmetric=symmetric, mask=m)
+    # value is identical on every device; pmean makes that replication provable
+    # to shard_map's out_specs checker (and is a no-op numerically)
+    return jax.lax.pmean(loss, axis_name)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,75 @@
+"""Pallas attention-pooling kernel tests (interpret mode on CPU).
+
+The same kernel runs compiled on TPU; compiled-vs-XLA agreement is exercised by
+the driver/bench on real hardware (observed <=2e-6 f32 / bf16-rounding bf16).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from madeleine_tpu.ops.attn_pool import masked_attention_pool
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 100, 64, 4),    # multi-block (t_block=32)
+    (1, 31, 64, 2),     # single ragged block
+    (3, 64, 128, 1),    # single head
+])
+def test_kernel_matches_reference(shape):
+    b, t, e, nh = shape
+    rng = np.random.default_rng(0)
+    xh = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    lg = jnp.asarray((rng.standard_normal((b, t, nh)) * 3).astype(np.float32))
+    mask = jnp.asarray(rng.random((b, t)) < 0.8)
+    ref = masked_attention_pool(xh, lg, mask, use_pallas=False)
+    got = masked_attention_pool(xh, lg, mask, interpret=True, t_block=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_kernel_no_mask():
+    rng = np.random.default_rng(1)
+    xh = jnp.asarray(rng.standard_normal((2, 90, 64, 4)).astype(np.float32))
+    lg = jnp.asarray(rng.standard_normal((2, 90, 4)).astype(np.float32))
+    ref = masked_attention_pool(xh, lg, None, use_pallas=False)
+    got = masked_attention_pool(xh, lg, None, interpret=True, t_block=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_kernel_extreme_logits():
+    """Online softmax must survive large logit ranges without overflow."""
+    rng = np.random.default_rng(2)
+    xh = jnp.asarray(rng.standard_normal((1, 64, 32, 2)).astype(np.float32))
+    lg = jnp.asarray((rng.standard_normal((1, 64, 2)) * 50).astype(np.float32))
+    ref = masked_attention_pool(xh, lg, None, use_pallas=False)
+    got = masked_attention_pool(xh, lg, None, interpret=True, t_block=16)
+    assert np.all(np.isfinite(np.asarray(got)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_fully_masked_row_is_zeroish():
+    """A fully padded batch row must produce finite output (content unused)."""
+    rng = np.random.default_rng(3)
+    xh = jnp.zeros((2, 32, 16, 2), jnp.float32).at[0].set(
+        jnp.asarray(rng.standard_normal((32, 16, 2)), jnp.float32))
+    lg = jnp.asarray(rng.standard_normal((2, 32, 2)).astype(np.float32))
+    mask = jnp.zeros((2, 32), bool).at[0].set(True)
+    got = masked_attention_pool(xh, lg, mask, interpret=True, t_block=16)
+    assert np.all(np.isfinite(np.asarray(got)))
+    np.testing.assert_allclose(np.asarray(got[1]), 0.0, atol=1e-6)
+
+
+def test_mask_broadcast_shapes():
+    rng = np.random.default_rng(4)
+    xh = jnp.asarray(rng.standard_normal((3, 40, 16, 2)).astype(np.float32))
+    lg = jnp.asarray(rng.standard_normal((3, 40, 2)).astype(np.float32))
+    m1d = jnp.asarray(rng.random(40) < 0.7)
+    a = masked_attention_pool(xh, lg, m1d, use_pallas=False)
+    b = masked_attention_pool(xh, lg, jnp.broadcast_to(m1d[None], (3, 40)),
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
