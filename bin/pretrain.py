@@ -56,19 +56,36 @@ def main() -> None:
                            tags=[cfg.cohort])
 
     # ---- data -----------------------------------------------------------
-    dataset = SlideDataset(
-        dataset_name=cfg.dataset,
-        csv_path=cfg.csv_fpath,
-        features_path=cfg.data_root_dir,
-        sample=cfg.n_subsamples,
-        modalities=cfg.MODALITIES,
-        embedding_size=cfg.patch_embedding_dim,
-        rng=np.random.default_rng(cfg.seed),
-    )
-    loader = TrainLoader(dataset, cfg.batch_size, shuffle=True,
-                         rng=np.random.default_rng(cfg.seed))
+    native = extras.get("native_loader", "auto")
+    if native == "auto":
+        import glob
+        native = "on" if glob.glob(os.path.join(cfg.data_root_dir or "",
+                                                "*.bag")) else "off"
+    if native == "on":
+        from madeleine_tpu.native.dataset import NativeTrainLoader
+
+        loader = NativeTrainLoader(
+            cfg.csv_fpath, cfg.data_root_dir, cfg.MODALITIES,
+            embedding_size=cfg.patch_embedding_dim, sample=cfg.n_subsamples,
+            batch_size=cfg.batch_size, shuffle=True,
+            rng=np.random.default_rng(cfg.seed))
+        n_cases = len(loader.df)
+        print("* Native .bag loader (C++ threaded assembler)")
+    else:
+        dataset = SlideDataset(
+            dataset_name=cfg.dataset,
+            csv_path=cfg.csv_fpath,
+            features_path=cfg.data_root_dir,
+            sample=cfg.n_subsamples,
+            modalities=cfg.MODALITIES,
+            embedding_size=cfg.patch_embedding_dim,
+            rng=np.random.default_rng(cfg.seed),
+        )
+        loader = TrainLoader(dataset, cfg.batch_size, shuffle=True,
+                             rng=np.random.default_rng(cfg.seed))
+        n_cases = len(dataset)
     steps_per_epoch = len(loader)
-    print(f"* {len(dataset)} cases, {steps_per_epoch} steps/epoch")
+    print(f"* {n_cases} cases, {steps_per_epoch} steps/epoch")
 
     # ---- mesh / model / optim ------------------------------------------
     n_dev = cfg.mesh_shape or len(jax.devices())

@@ -1,0 +1,265 @@
+// bagio — mmap-backed bag reader + threaded training-batch assembler.
+//
+// The native runtime layer of the data pipeline (the reference has no
+// first-party native code; its loader is h5py in a single Python thread with
+// num_workers=0, ref: madeleine/utils/setup_components.py:142-152). Training
+// batches at full scale are ~1.4 GB of gathered rows per step
+// (65 cases x 5 stains x 2048 tokens x 512 f32); assembling them here runs
+// row-gathers on a thread pool with zero Python/GIL involvement, overlapping
+// fully with TPU compute.
+//
+// .bag format v1 (little-endian):
+//   [0]  magic   "MBAG"
+//   [4]  u32     version = 1
+//   [8]  u64     n_rows
+//   [16] u64     n_cols
+//   [24] u32     dtype   (0 = f32, 1 = f16(unused), 2 = bf16)
+//   [28] u32     reserved
+//   [32] u64     coords_offset (0 = none; i64 [n_rows, 2] at that offset)
+//   [40] data    row-major feature matrix
+//
+// C API (ctypes-friendly): bag_open/rows/cols/dtype/gather/coords/close,
+// plus bag_assemble_batch for parallel multi-bag gathers.
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+constexpr uint32_t kMagic = 0x4741424d;  // "MBAG" little-endian
+constexpr uint32_t kDtypeF32 = 0;
+constexpr uint32_t kDtypeBf16 = 2;
+constexpr int64_t kHeaderSize = 40;
+
+struct Bag {
+  void* map = nullptr;
+  int64_t map_size = 0;
+  int64_t n_rows = 0;
+  int64_t n_cols = 0;
+  uint32_t dtype = kDtypeF32;
+  const uint8_t* data = nullptr;
+  const int64_t* coords = nullptr;
+};
+
+inline float bf16_to_f32(uint16_t v) {
+  uint32_t bits = static_cast<uint32_t>(v) << 16;
+  float out;
+  std::memcpy(&out, &bits, sizeof(out));
+  return out;
+}
+
+// Gather one row (with dtype conversion) into `out` (f32, n_cols wide).
+inline void copy_row(const Bag* bag, int64_t row, float* out) {
+  if (row < 0 || row >= bag->n_rows) {
+    std::memset(out, 0, sizeof(float) * bag->n_cols);
+    return;
+  }
+  if (bag->dtype == kDtypeF32) {
+    std::memcpy(out, bag->data + row * bag->n_cols * 4,
+                sizeof(float) * bag->n_cols);
+  } else {  // bf16
+    const uint16_t* src = reinterpret_cast<const uint16_t*>(
+        bag->data + row * bag->n_cols * 2);
+    for (int64_t c = 0; c < bag->n_cols; ++c) out[c] = bf16_to_f32(src[c]);
+  }
+}
+
+// Minimal fixed thread pool shared by all assemble calls. Tasks are coarse
+// (one multi-MB row-gather each), so claims are mutex-guarded — trivially
+// race-free, and the lock cost is noise next to the memcpy work. One batch
+// runs at a time (run_mu_); batch/task state is only touched under mu_.
+class Pool {
+ public:
+  explicit Pool(int n) {
+    for (int i = 0; i < n; ++i)
+      workers_.emplace_back([this] { Loop(); });
+  }
+  ~Pool() {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+
+  void Run(const std::vector<std::function<void()>>& tasks) {
+    std::unique_lock<std::mutex> run_lk(run_mu_);  // one batch at a time
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      batch_ = &tasks;
+      n_tasks_ = tasks.size();
+      next_ = 0;
+      done_ = 0;
+    }
+    cv_.notify_all();
+    Work();  // caller participates
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_done_.wait(lk, [this] { return done_ >= n_tasks_; });
+    batch_ = nullptr;
+  }
+
+ private:
+  void Work() {
+    while (true) {
+      const std::vector<std::function<void()>>* batch;
+      size_t i;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        if (batch_ == nullptr || next_ >= n_tasks_) return;
+        batch = batch_;
+        i = next_++;
+      }
+      (*batch)[i]();
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        if (++done_ >= n_tasks_) cv_done_.notify_all();
+      }
+    }
+  }
+  void Loop() {
+    while (true) {
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [this] {
+          return stop_ || (batch_ != nullptr && next_ < n_tasks_);
+        });
+        if (stop_) return;
+      }
+      Work();
+    }
+  }
+
+  std::vector<std::thread> workers_;
+  std::mutex mu_, run_mu_;
+  std::condition_variable cv_, cv_done_;
+  const std::vector<std::function<void()>>* batch_ = nullptr;
+  size_t n_tasks_ = 0;
+  size_t next_ = 0;
+  size_t done_ = 0;
+  bool stop_ = false;
+};
+
+Pool* GetPool(int n_threads) {
+  static Pool* pool = new Pool(n_threads > 0 ? n_threads : 8);
+  return pool;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* bag_open(const char* path) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < kHeaderSize) {
+    close(fd);
+    return nullptr;
+  }
+  void* map = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (map == MAP_FAILED) return nullptr;
+  const uint8_t* p = static_cast<const uint8_t*>(map);
+  uint32_t magic, version, dtype;
+  std::memcpy(&magic, p, 4);
+  std::memcpy(&version, p + 4, 4);
+  if (magic != kMagic || version != 1) {
+    munmap(map, st.st_size);
+    return nullptr;
+  }
+  Bag* bag = new Bag();
+  bag->map = map;
+  bag->map_size = st.st_size;
+  std::memcpy(&bag->n_rows, p + 8, 8);
+  std::memcpy(&bag->n_cols, p + 16, 8);
+  std::memcpy(&dtype, p + 24, 4);
+  bag->dtype = dtype;
+  uint64_t coords_off;
+  std::memcpy(&coords_off, p + 32, 8);
+  bag->data = p + kHeaderSize;
+  bag->coords = coords_off
+                    ? reinterpret_cast<const int64_t*>(p + coords_off)
+                    : nullptr;
+  return bag;
+}
+
+int64_t bag_rows(void* h) { return static_cast<Bag*>(h)->n_rows; }
+int64_t bag_cols(void* h) { return static_cast<Bag*>(h)->n_cols; }
+int32_t bag_dtype(void* h) { return static_cast<Bag*>(h)->dtype; }
+int32_t bag_has_coords(void* h) {
+  return static_cast<Bag*>(h)->coords != nullptr;
+}
+
+void bag_close(void* h) {
+  Bag* bag = static_cast<Bag*>(h);
+  if (bag->map) munmap(bag->map, bag->map_size);
+  delete bag;
+}
+
+// Gather rows by index into an f32 buffer [n_idx, n_cols].
+void bag_gather(void* h, const int64_t* idx, int64_t n_idx, float* out) {
+  Bag* bag = static_cast<Bag*>(h);
+  for (int64_t i = 0; i < n_idx; ++i)
+    copy_row(bag, idx[i], out + i * bag->n_cols);
+}
+
+void bag_coords(void* h, const int64_t* idx, int64_t n_idx, int64_t* out) {
+  Bag* bag = static_cast<Bag*>(h);
+  if (!bag->coords) {
+    std::memset(out, 0, sizeof(int64_t) * 2 * n_idx);
+    return;
+  }
+  for (int64_t i = 0; i < n_idx; ++i) {
+    int64_t r = idx[i];
+    if (r < 0 || r >= bag->n_rows) {
+      out[2 * i] = out[2 * i + 1] = 0;
+    } else {
+      out[2 * i] = bag->coords[2 * r];
+      out[2 * i + 1] = bag->coords[2 * r + 1];
+    }
+  }
+}
+
+// Parallel multi-bag gather: task k copies rows indices[k*t .. k*t+t) from
+// handles[k] into out + k*t*d. handles[k] == nullptr zero-fills (missing
+// stain placeholder, ref: wsi_dataset.py:66). d must match every open bag.
+void bag_assemble_batch(void** handles, int64_t n_tasks, const int64_t* indices,
+                        int64_t t, int64_t d, float* out, int32_t n_threads) {
+  std::vector<std::function<void()>> tasks;
+  tasks.reserve(n_tasks);
+  for (int64_t k = 0; k < n_tasks; ++k) {
+    tasks.emplace_back([=] {
+      float* dst = out + k * t * d;
+      Bag* bag = static_cast<Bag*>(handles[k]);
+      if (bag == nullptr) {
+        std::memset(dst, 0, sizeof(float) * t * d);
+        return;
+      }
+      const int64_t* idx = indices + k * t;
+      for (int64_t i = 0; i < t; ++i) copy_row(bag, idx[i], dst + i * d);
+    });
+  }
+  GetPool(n_threads)->Run(tasks);
+}
+
+// Sequential whole-bag read (f32 out), for inference paths.
+void bag_read_all(void* h, float* out) {
+  Bag* bag = static_cast<Bag*>(h);
+  for (int64_t i = 0; i < bag->n_rows; ++i)
+    copy_row(bag, i, out + i * bag->n_cols);
+}
+
+}  // extern "C"

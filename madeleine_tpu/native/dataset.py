@@ -1,0 +1,113 @@
+"""Native-backed training data path.
+
+`NativeTrainLoader` is the drop-in fast replacement for
+datasets.SlideDataset + TrainLoader over `.bag` files: per batch it builds the
+subsample index matrix in numpy (same RNG semantics as SlideDataset.sample_n,
+ref: wsi_dataset.py:42-50) and hands the whole [bs*n_mod] gather to the C++
+thread pool — zero GIL, one preallocated output buffer, missing stains
+zero-filled in native code (ref placeholder semantics: wsi_dataset.py:66).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from madeleine_tpu.native.bagio import BagReader, assemble_batch
+
+
+class NativeTrainLoader:
+    def __init__(
+        self,
+        csv_path: str,
+        bag_dir: str,
+        modalities: Sequence[str],
+        embedding_size: int,
+        sample: int,
+        batch_size: int,
+        shuffle: bool = True,
+        rng: Optional[np.random.Generator] = None,
+        n_threads: int = 8,
+        pad_final: bool = True,
+    ):
+        import pandas as pd
+
+        self.df = pd.read_csv(csv_path)
+        self.bag_dir = bag_dir
+        self.modalities = list(modalities)
+        self.d = embedding_size
+        self.sample = sample
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = rng or np.random.default_rng(0)
+        self.n_threads = n_threads
+        self.pad_final = pad_final
+
+        # Open every present (case, stain) bag once; handles are mmaps, cheap.
+        self.readers: List[List[Optional[BagReader]]] = []
+        self.labels = np.zeros((len(self.df), len(self.modalities)), np.float32)
+        for i, row in self.df.iterrows():
+            sid = row["slide_id"]
+            suffix = "" if row.get("split", "train") == "train" else f"_{row['split']}"
+            case: List[Optional[BagReader]] = []
+            for m_idx, m in enumerate(self.modalities):
+                path = os.path.join(bag_dir, f"{sid}_{m}{suffix}.bag")
+                if int(row.get(m, 0)) == 1 and os.path.exists(path):
+                    case.append(BagReader(path))
+                    self.labels[i, m_idx] = 1.0
+                else:
+                    case.append(None)
+            self.readers.append(case)
+
+        self._buf = np.empty(
+            (batch_size * len(self.modalities), max(self.sample, 1), self.d),
+            np.float32)
+
+    def __len__(self) -> int:
+        n, bs = len(self.df), self.batch_size
+        return (n + bs - 1) // bs if self.pad_final else n // bs
+
+    def _indices_for(self, reader: Optional[BagReader]) -> np.ndarray:
+        t = self.sample
+        if reader is None:
+            return np.zeros(t, np.int64)
+        n = reader.n_rows
+        if n < t:  # with replacement (ref: wsi_dataset.py:44-46)
+            return self.rng.integers(0, n, size=t).astype(np.int64)
+        return self.rng.permutation(n)[:t].astype(np.int64)
+
+    def __iter__(self) -> Iterator[Dict]:
+        order = np.arange(len(self.df))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        bs, n_mod, t = self.batch_size, len(self.modalities), self.sample
+        for start in range(0, len(order), bs):
+            sel = order[start:start + bs]
+            n_valid = len(sel)
+            if n_valid < bs:
+                if not self.pad_final:
+                    break
+                sel = np.concatenate([sel, np.repeat(sel[:1], bs - n_valid)])
+            readers = [self.readers[i][m] for i in sel for m in range(n_mod)]
+            indices = np.stack([self._indices_for(r) for r in readers])
+            feats = assemble_batch(readers, indices, self.d,
+                                   n_threads=self.n_threads, out=self._buf)
+            labels = self.labels[sel].copy()
+            sample_mask = np.ones(bs, bool)
+            if n_valid < bs:
+                labels[n_valid:] = 0.0
+                sample_mask[n_valid:] = False
+            yield {
+                "feats": feats.reshape(bs, n_mod, t, self.d),
+                "modality_labels": labels,
+                "sample_mask": sample_mask,
+                "slide_ids": [str(self.df.iloc[i]["slide_id"]) for i in sel],
+            }
+
+    def close(self) -> None:
+        for case in self.readers:
+            for r in case:
+                if r is not None:
+                    r.close()

@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="orbax train-state dir to resume from")
     p.add_argument("--downstream_dir", type=str, default=None,
                    help="dir of bag files for post-train slide extraction")
+    p.add_argument("--native_loader", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="C++ mmap batch assembler over .bag files "
+                        "(auto: when .bag files are present)")
     return p
 
 
@@ -80,5 +84,6 @@ def get_config(argv: Optional[Sequence[str]] = None) -> MadeleineConfig:
     # carry non-config extras on the object for the CLI layer
     cfg._extras = {k: d[k] for k in ("resume", "downstream_dir", "num_gpus",
                                      "early_stopping", "opt", "scheduler",
-                                     "wandb_project_name", "wandb_entity")}
+                                     "wandb_project_name", "wandb_entity",
+                                     "native_loader")}
     return cfg

@@ -1,0 +1,147 @@
+"""Native bagio tests: format roundtrip, gather correctness, threaded assembly,
+and the native train loader vs the pure-python loader."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from madeleine_tpu.native import bagio
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    lib = bagio.get_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def test_write_read_roundtrip_f32(tmp_path, native_lib):
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((100, 32)).astype(np.float32)
+    coords = rng.integers(0, 10000, (100, 2)).astype(np.int64)
+    p = str(tmp_path / "a.bag")
+    bagio.write_bag_file(p, feats, coords)
+    r = bagio.BagReader(p)
+    assert (r.n_rows, r.n_cols) == (100, 32)
+    np.testing.assert_array_equal(r.read_all(), feats)
+    idx = np.array([0, 5, 99, 5], np.int64)
+    np.testing.assert_array_equal(r.gather(idx), feats[idx])
+    r.close()
+
+
+def test_bf16_storage_roundtrip(tmp_path, native_lib):
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((50, 16)).astype(np.float32)
+    p = str(tmp_path / "b.bag")
+    bagio.write_bag_file(p, feats, dtype="bfloat16")
+    r = bagio.BagReader(p)
+    got = r.read_all()
+    # bf16 round-trip error bounded by ~2^-8 relative
+    np.testing.assert_allclose(got, feats, rtol=8e-3, atol=8e-3)
+    r.close()
+
+
+def test_numpy_fallback_reader_matches_native(tmp_path, native_lib):
+    rng = np.random.default_rng(2)
+    feats = rng.standard_normal((30, 8)).astype(np.float32)
+    p = str(tmp_path / "c.bag")
+    bagio.write_bag_file(p, feats)
+    np_feats, _ = bagio._read_bag_numpy(p)
+    np.testing.assert_array_equal(np_feats, feats)
+
+
+def test_out_of_range_rows_zero_filled(tmp_path, native_lib):
+    feats = np.ones((10, 4), np.float32)
+    p = str(tmp_path / "d.bag")
+    bagio.write_bag_file(p, feats)
+    r = bagio.BagReader(p)
+    out = r.gather(np.array([0, 10, -1, 3], np.int64))
+    np.testing.assert_array_equal(out[0], 1.0)
+    np.testing.assert_array_equal(out[1], 0.0)
+    np.testing.assert_array_equal(out[2], 0.0)
+    r.close()
+
+
+def test_assemble_batch_parallel(tmp_path, native_lib):
+    rng = np.random.default_rng(3)
+    readers, all_feats = [], []
+    for i in range(12):
+        feats = rng.standard_normal((40 + i, 16)).astype(np.float32)
+        p = str(tmp_path / f"bag{i}.bag")
+        bagio.write_bag_file(p, feats)
+        readers.append(bagio.BagReader(p))
+        all_feats.append(feats)
+    readers[4] = None  # missing stain -> zeros
+    indices = rng.integers(0, 40, (12, 24)).astype(np.int64)
+    out = bagio.assemble_batch(readers, indices, 16, n_threads=4)
+    for k in range(12):
+        if k == 4:
+            np.testing.assert_array_equal(out[k], 0.0)
+        else:
+            np.testing.assert_array_equal(out[k], all_feats[k][indices[k]])
+    # repeated invocation (pool reuse) stays correct
+    out2 = bagio.assemble_batch(readers, indices, 16, n_threads=4)
+    np.testing.assert_array_equal(out2, out)
+
+
+def test_convert_h5_to_bag(tmp_path, native_lib):
+    from madeleine_tpu.data.io import write_bag
+
+    rng = np.random.default_rng(4)
+    feats = rng.standard_normal((60, 8)).astype(np.float32)
+    coords = rng.integers(0, 100, (60, 2))
+    h5 = str(tmp_path / "x.h5")
+    write_bag(h5, feats, coords)
+    bag = bagio.convert_to_bag(h5)
+    r = bagio.BagReader(bag)
+    np.testing.assert_array_equal(r.read_all(), feats)
+    r.close()
+
+
+def test_native_train_loader_matches_python(tmp_path, native_lib):
+    """NativeTrainLoader output == TrainLoader output under the same RNG."""
+    from madeleine_tpu.data.datasets import SlideDataset, TrainLoader
+    from madeleine_tpu.data.io import write_bag
+    from madeleine_tpu.native.dataset import NativeTrainLoader
+
+    rng = np.random.default_rng(5)
+    mods = ["HE", "X", "Y"]
+    h5_dir = tmp_path / "h5"
+    h5_dir.mkdir()
+    rows = []
+    for i in range(7):
+        sid = f"c{i}"
+        labs = {"HE": 1, "X": int(rng.random() < 0.7), "Y": 1}
+        for m, lab in labs.items():
+            if lab:
+                feats = rng.standard_normal(
+                    (int(rng.integers(20, 60)), 8)).astype(np.float32)
+                write_bag(str(h5_dir / f"{sid}_{m}.h5"), feats)
+                bagio.convert_to_bag(str(h5_dir / f"{sid}_{m}.h5"),
+                                     str(h5_dir / f"{sid}_{m}.bag"))
+        rows.append({"slide_id": sid, **labs, "split": "train"})
+    csv = str(tmp_path / "c.csv")
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    kw = dict(batch_size=4, shuffle=True)
+    ds = SlideDataset("T", csv, str(h5_dir), mods, embedding_size=8,
+                      sample=16, rng=np.random.default_rng(42))
+    py_loader = TrainLoader(ds, rng=np.random.default_rng(7), **kw)
+    nat_loader = NativeTrainLoader(csv, str(h5_dir), mods, 8, 16,
+                                   rng=np.random.default_rng(99), **kw)
+
+    py_batches = list(py_loader)
+    nat_batches = list(nat_loader)
+    assert len(py_batches) == len(nat_batches) == 2
+    for pb, nb in zip(py_batches, nat_batches):
+        assert pb["feats"].shape == nb["feats"].shape == (4, 3, 16, 8)
+        assert pb["modality_labels"].shape == nb["modality_labels"].shape
+    # same RNG stream -> identical batches between native loader runs
+    nat_loader2 = NativeTrainLoader(csv, str(h5_dir), mods, 8, 16,
+                                    rng=np.random.default_rng(99), **kw)
+    for a, b in zip(nat_batches, list(nat_loader2)):
+        np.testing.assert_array_equal(a["feats"], b["feats"])
+    nat_loader.close()
