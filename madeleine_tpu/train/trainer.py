@@ -193,10 +193,10 @@ def train_loop(
     """One epoch. Returns (state, epoch_loss, train_rank, agg_metrics)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    ep_loss = 0.0
-    n_steps = 0
-    n_skipped = 0
-    all_embeds = []
+    # Device results are collected WITHOUT per-step host syncs — float()-ing
+    # the loss every step would serialize host and device; instead async
+    # dispatch pipelines the whole epoch and we fetch once at the end.
+    losses, skips, embeds_dev, masks = [], [], [], []
     t0 = time.time()
 
     for b_idx, batch in enumerate(dataloader):
@@ -213,24 +213,24 @@ def train_loop(
             device_batch = {k: jax.device_put(v, data)
                             for k, v in device_batch.items()}
         state, he_embs, metrics = train_step(state, device_batch, step_rng)
-        loss = float(metrics["loss"])
-        skipped = bool(metrics["skipped"])
-        sm = np.asarray(batch.get("sample_mask",
-                                  np.ones(batch["feats"].shape[0], bool)))
-        all_embeds.append(np.asarray(he_embs)[sm])
-        if skipped:
-            n_skipped += 1
-        else:
-            ep_loss += loss
-            n_steps += 1
+        losses.append(metrics["loss"])
+        skips.append(metrics["skipped"])
+        embeds_dev.append(he_embs)
+        masks.append(np.asarray(batch.get(
+            "sample_mask", np.ones(batch["feats"].shape[0], bool))))
         if log_every and (b_idx % log_every) == 0:
-            print(f"Loss for batch: {b_idx} = {loss:.3f}")
+            print(f"Loss for batch: {b_idx} = {float(metrics['loss']):.3f}")
 
+    losses, skips, embeds_host = jax.device_get((losses, skips, embeds_dev))
+    skips = np.asarray(skips, bool)
+    losses = np.asarray(losses, np.float64)
+    ep_loss = float(losses[~skips].sum()) if len(losses) else 0.0
+    all_embeds = [e[m] for e, m in zip(embeds_host, masks)]
     embeds = np.concatenate(all_embeds, axis=0) if all_embeds else np.zeros((2, 2))
     rank = float(smooth_rank_measure(jnp.asarray(embeds)))
     agg = {
         "epoch_time": time.time() - t0,
-        "n_steps": n_steps,
-        "n_skipped": n_skipped,
+        "n_steps": int((~skips).sum()),
+        "n_skipped": int(skips.sum()),
     }
     return state, ep_loss, rank, agg
