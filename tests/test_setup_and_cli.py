@@ -149,3 +149,25 @@ def test_extract_slide_embeddings_cli(tmp_path):
         res = pickle.load(f)
     assert sorted(res["slide_ids"]) == ["s0", "s1", "s2"]
     assert res["embeds"].shape == (3, 16)
+
+
+def test_attention_heatmap(tmp_path):
+    from madeleine_tpu.eval.heatmap import attention_to_grid, save_heatmap
+
+    rng = np.random.default_rng(3)
+    n = 30
+    coords = np.stack([rng.integers(0, 10, n) * 256,
+                       rng.integers(0, 8, n) * 256], axis=1)
+    attn = rng.standard_normal((n, 4)).astype(np.float32)
+    grid, origin = attention_to_grid(coords, attn, 256)
+    assert grid.shape[-1] == 4
+    # softmax weights sum to 1 per head over valid cells
+    s = np.nansum(grid, axis=(0, 1))
+    np.testing.assert_allclose(s, 1.0, rtol=1e-5)
+
+    out = save_heatmap(str(tmp_path / "h.png"), coords, attn, 256)
+    assert os.path.exists(out)
+    thumb = np.full((64, 80, 3), 200, np.uint8)
+    out2 = save_heatmap(str(tmp_path / "h2.png"), coords, attn, 256,
+                        thumbnail=thumb, head=1)
+    assert os.path.exists(out2)
