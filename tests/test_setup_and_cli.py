@@ -156,8 +156,8 @@ def test_attention_heatmap(tmp_path):
 
     rng = np.random.default_rng(3)
     n = 30
-    coords = np.stack([rng.integers(0, 10, n) * 256,
-                       rng.integers(0, 8, n) * 256], axis=1)
+    cells = rng.choice(80, n, replace=False)  # unique grid cells (10 x 8)
+    coords = np.stack([(cells % 10) * 256, (cells // 10) * 256], axis=1)
     attn = rng.standard_normal((n, 4)).astype(np.float32)
     grid, origin = attention_to_grid(coords, attn, 256)
     assert grid.shape[-1] == 4
