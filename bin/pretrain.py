@@ -67,8 +67,7 @@ def main() -> None:
         loader = NativeTrainLoader(
             cfg.csv_fpath, cfg.data_root_dir, cfg.MODALITIES,
             embedding_size=cfg.patch_embedding_dim, sample=cfg.n_subsamples,
-            batch_size=cfg.batch_size, shuffle=True,
-            rng=np.random.default_rng(cfg.seed))
+            batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed)
         n_cases = len(loader.df)
         print("* Native .bag loader (C++ threaded assembler)")
     else:
@@ -82,7 +81,7 @@ def main() -> None:
             rng=np.random.default_rng(cfg.seed),
         )
         loader = TrainLoader(dataset, cfg.batch_size, shuffle=True,
-                             rng=np.random.default_rng(cfg.seed))
+                             seed=cfg.seed)
         n_cases = len(dataset)
     steps_per_epoch = len(loader)
     print(f"* {n_cases} cases, {steps_per_epoch} steps/epoch")
@@ -126,6 +125,7 @@ def main() -> None:
     for epoch in range(start_epoch, cfg.max_epochs):
         print(f"\nTraining for epoch {epoch}...")
         start = time.time()
+        loader.set_epoch(epoch)  # deterministic resume: shuffle keyed by epoch
         state, ep_loss, train_rank, agg = train_loop(
             cfg, train_step, state, Prefetcher(loader), epoch, rng_key,
             mesh=mesh, log_every=0)

@@ -127,12 +127,21 @@ class TrainLoader:
 
     def __init__(self, dataset: SlideDataset, batch_size: int,
                  shuffle: bool = True, rng: Optional[np.random.Generator] = None,
-                 pad_final: bool = True):
+                 pad_final: bool = True, seed: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.rng = rng or np.random.default_rng(0)
+        self.rng = rng or np.random.default_rng(seed)
         self.pad_final = pad_final
+        self.seed = seed
+
+    def set_epoch(self, epoch: int) -> None:
+        """Derive the epoch's RNG from (seed, epoch) so a resumed run replays
+        the exact shuffle/subsample stream (the reference has no resume at
+        all, SURVEY §5). Also reseeds the dataset's subsample rng."""
+        self.rng = np.random.default_rng((self.seed, epoch))
+        if hasattr(self.dataset, "rng"):
+            self.dataset.rng = np.random.default_rng((self.seed, epoch, 1))
 
     def __len__(self) -> int:
         n = len(self.dataset)

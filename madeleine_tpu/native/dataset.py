@@ -31,6 +31,7 @@ class NativeTrainLoader:
         rng: Optional[np.random.Generator] = None,
         n_threads: int = 8,
         pad_final: bool = True,
+        seed: int = 0,
     ):
         import pandas as pd
 
@@ -41,9 +42,10 @@ class NativeTrainLoader:
         self.sample = sample
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.rng = rng or np.random.default_rng(0)
+        self.rng = rng or np.random.default_rng(seed)
         self.n_threads = n_threads
         self.pad_final = pad_final
+        self.seed = seed
 
         # Open every present (case, stain) bag once; handles are mmaps, cheap.
         self.readers: List[List[Optional[BagReader]]] = []
@@ -68,6 +70,11 @@ class NativeTrainLoader:
     def __len__(self) -> int:
         n, bs = len(self.df), self.batch_size
         return (n + bs - 1) // bs if self.pad_final else n // bs
+
+    def set_epoch(self, epoch: int) -> None:
+        """(seed, epoch)-derived RNG for deterministic resume — see
+        datasets.TrainLoader.set_epoch."""
+        self.rng = np.random.default_rng((self.seed, epoch))
 
     def _indices_for(self, reader: Optional[BagReader]) -> np.ndarray:
         t = self.sample

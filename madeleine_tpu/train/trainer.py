@@ -136,6 +136,9 @@ def make_train_step(cfg: MadeleineConfig, tx: optax.GradientTransformation,
         total, any_flag, metrics = compute_losses(
             cfg, slide_embs.astype(jnp.float32), token_embs,
             batch["modality_labels"], batch.get("sample_mask"), loss_rng)
+        # failure detection: a non-finite loss skips the update instead of
+        # poisoning the optimizer state (no reference equivalent, SURVEY §5)
+        any_flag = any_flag & jnp.isfinite(total)
         he_embs = slide_embs[:, HE_POSITION, WHOLE_VIEW_POSITION].astype(jnp.float32)
         return total, (any_flag, he_embs, metrics)
 
