@@ -22,8 +22,17 @@ except ImportError:  # pragma: no cover - h5py is present in this image
 
 
 def load_features(path: str, dtype=np.float32) -> np.ndarray:
-    """Read the ``features`` dataset -> [n, d] (ref: wsi_dataset.py:14-19)."""
-    if path.endswith(".npz"):
+    """Read the ``features`` dataset -> [n, d] (ref: wsi_dataset.py:14-19).
+    Accepts .h5 (reference schema), .npz, and native .bag files."""
+    if path.endswith(".bag"):
+        from madeleine_tpu.native.bagio import BagReader
+
+        r = BagReader(path)
+        try:
+            feats = r.read_all()
+        finally:
+            r.close()
+    elif path.endswith(".npz"):
         feats = np.load(path)["features"]
     else:
         if not HAVE_H5PY:
@@ -37,6 +46,27 @@ def load_features(path: str, dtype=np.float32) -> np.ndarray:
 
 
 def load_coords(path: str) -> Optional[np.ndarray]:
+    if path.endswith(".bag"):
+        from madeleine_tpu.native.bagio import BagReader, _read_bag_numpy
+
+        r = BagReader(path)
+        try:
+            if not getattr(r, "_handle", None):
+                return _read_bag_numpy(path)[1]
+            import ctypes
+
+            if not r._lib.bag_has_coords(r._handle):
+                return None
+            idx = np.arange(r.n_rows, dtype=np.int64)
+            out = np.empty((r.n_rows, 2), np.int64)
+            r._lib.bag_coords(
+                r._handle,
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                r.n_rows,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            return out
+        finally:
+            r.close()
     if path.endswith(".npz"):
         d = np.load(path)
         return d["coords"] if "coords" in d else None
@@ -90,6 +120,12 @@ def append_bag(path: str, features: np.ndarray,
 
 def bag_length(path: str) -> int:
     """Token count without reading the payload (drives length bucketing)."""
+    if path.endswith(".bag"):
+        import struct
+
+        with open(path, "rb") as f:
+            head = f.read(16)
+        return int(struct.unpack("<IIQ", head)[2])
     if path.endswith(".npz"):
         return int(np.load(path)["features"].shape[0])
     with h5py.File(path, "r") as f:
@@ -97,7 +133,17 @@ def bag_length(path: str) -> int:
     return int(shape[0] if len(shape) != 3 else shape[1])
 
 
-def list_bags(directory: str, exts: Tuple[str, ...] = (".h5", ".npz")) -> Iterable[str]:
-    return sorted(
-        fn for fn in os.listdir(directory) if fn.endswith(exts)
-    )
+def list_bags(directory: str,
+              exts: Tuple[str, ...] = (".h5", ".npz", ".bag")) -> Iterable[str]:
+    """Bag files, deduplicated by slide id with priority .bag > .h5 > .npz
+    (converted cohorts keep both formats side by side)."""
+    priority = {".bag": 0, ".h5": 1, ".npz": 2}
+    best: dict = {}
+    for fn in os.listdir(directory):
+        stem, ext = os.path.splitext(fn)
+        if ext not in exts:
+            continue
+        if stem not in best or priority.get(ext, 9) < priority.get(
+                os.path.splitext(best[stem])[1], 9):
+            best[stem] = fn
+    return sorted(best.values())

@@ -212,6 +212,57 @@ def masked_attention_pool(
     return pooled.reshape(b, e, nh)
 
 
+FusedPoolResidual = None  # (doc anchor) residuals = (xh, logits, mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_attention_pool(xh, logits, mask, activation="softmax",
+                         use_pallas=None, t_block=512):
+    """Differentiable fused pooling: Pallas streaming forward (on TPU), exact
+    XLA backward. Same signature/semantics as masked_attention_pool, but safe
+    to use inside gradient-taking training code — enabling full-bag training
+    without materializing per-token softmax in the forward pass."""
+    return masked_attention_pool(xh, logits, mask, activation=activation,
+                                 use_pallas=use_pallas, t_block=t_block)
+
+
+def _fused_pool_fwd(xh, logits, mask, activation, use_pallas, t_block):
+    out = masked_attention_pool(xh, logits, mask, activation=activation,
+                                use_pallas=use_pallas, t_block=t_block)
+    return out, (xh, logits, mask)
+
+
+def _fused_pool_bwd(activation, use_pallas, t_block, res, g):
+    """Backward of pooled[b,e,h] = sum_t a[b,t,h] x[b,t,e,h], a = softmax(l):
+      dx[t,e,h] = a[t,h] g[e,h]
+      dl[t,h]   = a[t,h] (da[t,h] - sum_t' a[t',h] da[t',h]),
+                  da[t,h] = sum_e g[e,h] x[t,e,h]
+    (softmax activation only — the training path always uses softmax)."""
+    from madeleine_tpu.models.abmil import activate_attention
+
+    xh, logits, mask = res
+    b, t, e, nh = xh.shape
+    m = _normalize_mask(mask, b, t)
+    mm = None if m is None else m[..., None]
+    a = activate_attention(logits.astype(jnp.float32), activation, mm,
+                           axis=-2)                             # [b, t, nh]
+    g32 = g.astype(jnp.float32)
+    dx = (a[..., None, :] * g32[:, None]).astype(xh.dtype)      # [b, t, e, nh]
+    if activation == "softmax":
+        da = jnp.einsum("beh,bteh->bth", g32, xh.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST)
+        inner = jnp.sum(a * da, axis=1, keepdims=True)
+        dl = (a * (da - inner)).astype(logits.dtype)
+    else:
+        raise NotImplementedError(
+            "fused_attention_pool backward supports softmax only; use the "
+            "non-fused path for other activations")
+    return dx, dl, None
+
+
+fused_attention_pool.defvjp(_fused_pool_fwd, _fused_pool_bwd)
+
+
 def _pool_pallas_interpret(y, logits_masked, *, e, nh, t_block):
     """Interpreter-mode twin of _pool_pallas for CPU tests."""
     b, t, E = y.shape

@@ -145,3 +145,24 @@ def test_native_train_loader_matches_python(tmp_path, native_lib):
     for a, b in zip(nat_batches, list(nat_loader2)):
         np.testing.assert_array_equal(a["feats"], b["feats"])
     nat_loader.close()
+
+
+def test_io_layer_reads_bag_files(tmp_path, native_lib):
+    """data.io load_features/load_coords/bag_length/list_bags handle .bag,
+    dedup against sibling .h5 of the same slide."""
+    from madeleine_tpu.data import io as bag_io
+
+    rng = np.random.default_rng(6)
+    feats = rng.standard_normal((25, 8)).astype(np.float32)
+    coords = rng.integers(0, 50, (25, 2)).astype(np.int64)
+    bagio.write_bag_file(str(tmp_path / "s0.bag"), feats, coords)
+    bag_io.write_bag(str(tmp_path / "s0.h5"), feats + 1.0)  # stale duplicate
+    bag_io.write_bag(str(tmp_path / "s1.h5"), feats)
+
+    listed = list(bag_io.list_bags(str(tmp_path)))
+    assert listed == ["s0.bag", "s1.h5"]  # .bag wins the dedup
+    np.testing.assert_array_equal(
+        bag_io.load_features(str(tmp_path / "s0.bag")), feats)
+    np.testing.assert_array_equal(
+        bag_io.load_coords(str(tmp_path / "s0.bag")), coords)
+    assert bag_io.bag_length(str(tmp_path / "s0.bag")) == 25

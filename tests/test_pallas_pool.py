@@ -73,3 +73,40 @@ def test_mask_broadcast_shapes():
     b = masked_attention_pool(xh, lg, jnp.broadcast_to(m1d[None], (3, 40)),
                               use_pallas=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_fused_pool_gradients_match_xla():
+    """custom_vjp backward must equal XLA autodiff through the reference path."""
+    from madeleine_tpu.ops.attn_pool import fused_attention_pool
+
+    rng = np.random.default_rng(5)
+    xh = jnp.asarray(rng.standard_normal((2, 50, 32, 2)).astype(np.float32))
+    lg = jnp.asarray(rng.standard_normal((2, 50, 2)).astype(np.float32))
+    mask = jnp.asarray(rng.random((2, 50)) < 0.85)
+    g_out = jnp.asarray(rng.standard_normal((2, 32, 2)).astype(np.float32))
+
+    def loss_ref(xh, lg):
+        out = masked_attention_pool(xh, lg, mask, use_pallas=False)
+        return jnp.sum(out * g_out)
+
+    def loss_fused(xh, lg):
+        out = fused_attention_pool(xh, lg, mask, "softmax", False, 32)
+        return jnp.sum(out * g_out)
+
+    gx_ref, gl_ref = jax.grad(loss_ref, argnums=(0, 1))(xh, lg)
+    gx, gl = jax.grad(loss_fused, argnums=(0, 1))(xh, lg)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(gl_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_fused_pool_forward_equals_reference():
+    from madeleine_tpu.ops.attn_pool import fused_attention_pool
+
+    rng = np.random.default_rng(6)
+    xh = jnp.asarray(rng.standard_normal((3, 40, 16, 4)).astype(np.float32))
+    lg = jnp.asarray(rng.standard_normal((3, 40, 4)).astype(np.float32))
+    want = masked_attention_pool(xh, lg, None, use_pallas=False)
+    got = fused_attention_pool(xh, lg, None, "softmax", False, 512)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
