@@ -15,9 +15,14 @@ functions over an explicit parameter pytree, redesigned for TPU:
 
 Head-split layout note (checkpoint-parity critical): the reference splits the
 pre-attention output of size hidden*n_heads via einops 'b t (e c) -> b t e c'
-(ref: Model.py:396) — i.e. feature index = e * n_heads + c, head index minor.
-We keep exactly that layout: reshape(..., hidden, n_heads); the later flatten of
-pooled [b, e, c] back to e*n_heads (ref: Model.py:144) is then also a plain reshape.
+(ref: Model.py:396) — feature index = e * n_heads + c, i.e. HEAD-MINOR. That
+layout strides every per-head slice, which lowers badly on TPU (lane-strided
+gathers / transposes around the gate matmuls) and blocks a fused gates+pool
+kernel. This build therefore uses a HEAD-MAJOR layout internally — feature
+index = h * hidden + e, per-head slices contiguous — and the checkpoint bridge
+(models/factory.py) permutes fc3/ln3 columns and projector/token_projector rows
+once at load/export time. Semantics are bit-identical; only the memory order of
+the hidden*n_heads axis differs, and every torch-interop surface converts.
 """
 
 from __future__ import annotations
@@ -154,24 +159,24 @@ def gated_attention_logits(
 ) -> jnp.ndarray:
     """All-heads gated attention scores in one shot.
 
-    xh: [..., t, hidden, n_heads]  (head-split pre-attention features)
+    xh: [..., t, n_heads, hidden]  (head-MAJOR pre-attention features)
     returns raw logits [..., t, n_heads]
     (ref: abmil.py:41-52 — tanh(Wa x) * sigmoid(Wb x) -> Linear -> logits,
     with Dropout(0.25) on each gate branch when training.)
     """
     prec = dot_precision(xh.dtype)
-    a = jnp.tanh(jnp.einsum("...eh,hef->...fh", xh, attn["wa"],
-                            precision=prec) + attn["ba"].T)
-    b = jax.nn.sigmoid(jnp.einsum("...eh,hef->...fh", xh, attn["wb"],
-                                  precision=prec) + attn["bb"].T)
+    a = jnp.tanh(jnp.einsum("...he,hef->...hf", xh, attn["wa"],
+                            precision=prec) + attn["ba"])
+    b = jax.nn.sigmoid(jnp.einsum("...he,hef->...hf", xh, attn["wb"],
+                                  precision=prec) + attn["bb"])
     if train and dropout_rng is not None:
         ra, rb = jax.random.split(dropout_rng)
         a = _dropout(a, ATTN_DROPOUT, ra)
         b = _dropout(b, ATTN_DROPOUT, rb)
     g = a * b
-    logits = jnp.einsum("...fh,hfo->...oh", g, attn["wc"],
-                        precision=prec) + attn["bc"].T
-    return logits.squeeze(-2)  # [..., t, n_heads]
+    logits = jnp.einsum("...hf,hfo->...ho", g, attn["wc"],
+                        precision=prec) + attn["bc"]
+    return logits.squeeze(-1)  # [..., t, n_heads]
 
 
 def activate_attention(
@@ -234,9 +239,9 @@ def abmil_embed(
       use_pallas: route the masked softmax-pooling through the fused Pallas
         kernel (defaults to auto: on TPU backends, off elsewhere).
 
-    Returns: pooled [b, e, nh] (n_views=1) or [b, n_views, e, nh], plus
+    Returns: pooled [b, nh, e] (n_views=1) or [b, n_views, nh, e], plus
       raw_attention [b, t, nh] if return_attention, plus token features
-      [b, t, e, nh] if return_tokens.
+      [b, t, nh, e] if return_tokens. (Head-MAJOR layout — see module note.)
     """
     hidden = params["pre_attn"]["fc3"]["w"].shape[1] // n_heads
 
@@ -246,7 +251,8 @@ def abmil_embed(
         pre_rng = attn_rng = None
 
     y = pre_attn_mlp(params["pre_attn"], bags, dropout_rng=pre_rng, train=train)
-    xh = y.reshape(*y.shape[:-1], hidden, n_heads)  # '(e c) -> e c' split, Model.py:396
+    # head-major split (bridge permutes the reference's '(e c)' order at load)
+    xh = y.reshape(*y.shape[:-1], n_heads, hidden)
 
     raw_logits = gated_attention_logits(params["attn"], xh, dropout_rng=attn_rng, train=train)
 
@@ -278,7 +284,7 @@ def abmil_embed(
                 masked_attention_pool(xh, raw_logits, mask=m, activation="softmax",
                                       use_pallas=use_pallas)
             )
-        pooled = jnp.stack([whole] + views, axis=1)  # [b, 3, e, nh]
+        pooled = jnp.stack([whole] + views, axis=1)  # [b, 3, nh, e]
         out = (pooled,)
 
     if return_attention:

@@ -18,6 +18,13 @@ Reference state_dict layout (ref: Model.py:80-91, 350-363; abmil.py:23-39):
 torch Linear stores weight as [out, in]; JAX kernels here are [in, out].
 A leading ``module.`` prefix (nn.DataParallel artifact) is stripped, matching
 ref: Model.py:31-40 / utils/utils.py:115-120.
+
+Layout conversion: the reference's hidden*n_heads axis is head-MINOR
+(index = e * nh + h, einops '(e c)', ref Model.py:396); this build runs
+head-MAJOR internally (index = h * hidden + e) for contiguous per-head slices
+on TPU. The bridge permutes fc3/ln3 columns and projector/token_projector rows
+on import, and inverts the permutation on export — torch-side artifacts stay
+bit-compatible with the reference.
 """
 
 from __future__ import annotations
@@ -35,6 +42,13 @@ from madeleine_tpu.models.madeleine import init_madeleine_params
 Params = Dict[str, Any]
 
 _PRE_ATTN_LAYERS = {"fc1": "0", "ln1": "1", "fc2": "4", "ln2": "5", "fc3": "8", "ln3": "9"}
+
+
+def _head_major_perm(hidden: int, n_heads: int) -> np.ndarray:
+    """perm[j] = source (head-minor) index for head-major position j:
+    j = h * hidden + e  <-  e * n_heads + h."""
+    j = np.arange(hidden * n_heads)
+    return (j % hidden) * n_heads + (j // hidden)
 
 
 def _strip_module_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -79,6 +93,14 @@ def state_dict_to_params(
         n_heads += 1
     if n_heads == 0:
         raise KeyError("no attention heads found in checkpoint")
+
+    # head-minor -> head-major permutation of the hidden*n_heads axis
+    hidden = pre_attn["fc3"]["w"].shape[1] // n_heads
+    perm = _head_major_perm(hidden, n_heads)
+    pre_attn["fc3"]["w"] = pre_attn["fc3"]["w"][:, perm]
+    pre_attn["fc3"]["b"] = pre_attn["fc3"]["b"][perm]
+    pre_attn["ln3"]["scale"] = pre_attn["ln3"]["scale"][perm]
+    pre_attn["ln3"]["bias"] = pre_attn["ln3"]["bias"][perm]
     attn = {
         "wa": jnp.stack([arr(f"wsi_embedders.attn.{h}.attention_a.0.weight").T
                          for h in range(n_heads)]),
@@ -96,9 +118,9 @@ def state_dict_to_params(
 
     params: Params = {
         "wsi_embedders": {"pre_attn": pre_attn, "attn": attn},
-        "token_projector": {"w": arr("token_projector.weight").T,
+        "token_projector": {"w": arr("token_projector.weight").T[perm, :],
                             "b": arr("token_projector.bias")},
-        "projector": {"w": arr("projector.weight").T,
+        "projector": {"w": arr("projector.weight").T[perm, :],
                       "b": arr("projector.bias")},
     }
     if "embedding.weight" in sd:
@@ -111,16 +133,26 @@ def params_to_state_dict(params: Params) -> Dict[str, np.ndarray]:
     models trained here load in the reference's torch code."""
     sd: Dict[str, np.ndarray] = {}
     pre = params["wsi_embedders"]["pre_attn"]
+    attn = params["wsi_embedders"]["attn"]
+    n_heads = attn["wa"].shape[0]
+    hidden = pre["fc3"]["w"].shape[1] // n_heads
+    perm = _head_major_perm(hidden, n_heads)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
     for ours, idx in _PRE_ATTN_LAYERS.items():
         p = pre[ours]
-        if ours.startswith("fc"):
+        if ours == "fc3":
+            sd[f"wsi_embedders.pre_attn.{idx}.weight"] = np.asarray(p["w"])[:, inv].T
+            sd[f"wsi_embedders.pre_attn.{idx}.bias"] = np.asarray(p["b"])[inv]
+        elif ours == "ln3":
+            sd[f"wsi_embedders.pre_attn.{idx}.weight"] = np.asarray(p["scale"])[inv]
+            sd[f"wsi_embedders.pre_attn.{idx}.bias"] = np.asarray(p["bias"])[inv]
+        elif ours.startswith("fc"):
             sd[f"wsi_embedders.pre_attn.{idx}.weight"] = np.asarray(p["w"]).T
             sd[f"wsi_embedders.pre_attn.{idx}.bias"] = np.asarray(p["b"])
         else:
             sd[f"wsi_embedders.pre_attn.{idx}.weight"] = np.asarray(p["scale"])
             sd[f"wsi_embedders.pre_attn.{idx}.bias"] = np.asarray(p["bias"])
-    attn = params["wsi_embedders"]["attn"]
-    n_heads = attn["wa"].shape[0]
     for h in range(n_heads):
         sd[f"wsi_embedders.attn.{h}.attention_a.0.weight"] = np.asarray(attn["wa"][h]).T
         sd[f"wsi_embedders.attn.{h}.attention_a.0.bias"] = np.asarray(attn["ba"][h])
@@ -128,9 +160,9 @@ def params_to_state_dict(params: Params) -> Dict[str, np.ndarray]:
         sd[f"wsi_embedders.attn.{h}.attention_b.0.bias"] = np.asarray(attn["bb"][h])
         sd[f"wsi_embedders.attn.{h}.attention_c.weight"] = np.asarray(attn["wc"][h]).T
         sd[f"wsi_embedders.attn.{h}.attention_c.bias"] = np.asarray(attn["bc"][h])
-    sd["token_projector.weight"] = np.asarray(params["token_projector"]["w"]).T
+    sd["token_projector.weight"] = np.asarray(params["token_projector"]["w"])[inv, :].T
     sd["token_projector.bias"] = np.asarray(params["token_projector"]["b"])
-    sd["projector.weight"] = np.asarray(params["projector"]["w"]).T
+    sd["projector.weight"] = np.asarray(params["projector"]["w"])[inv, :].T
     sd["projector.bias"] = np.asarray(params["projector"]["b"])
     if "embedding" in params:
         sd["embedding.weight"] = np.asarray(params["embedding"]["table"])

@@ -146,16 +146,17 @@ def forward_train(
         train=train, return_tokens=True, use_pallas=use_pallas,
     )
     if n_views == 1:
-        pooled = pooled[:, None]           # [bs*n_mod, 1, e, nh]
+        pooled = pooled[:, None]           # [bs*n_mod, 1, nh, e]
 
-    # token path: [bs*n_mod, t, e, nh] -> flatten heads -> 128-d (Model.py:138-140)
-    e, nh = tokens.shape[-2], tokens.shape[-1]
-    tok = tokens.reshape(bs, n_mod, t, e * nh)
+    # token path: [bs*n_mod, t, nh, e] -> flatten heads -> 128-d
+    # (Model.py:138-140; projector rows are bridge-permuted to head-major)
+    nh, e = tokens.shape[-2], tokens.shape[-1]
+    tok = tokens.reshape(bs, n_mod, t, nh * e)
     token_embs = _linear(params["token_projector"], tok)
 
     # slide path: flatten heads -> projector -> [bs, n_mod, n_views, e] (Model.py:143-146)
     nv = pooled.shape[1]
-    slide = pooled.reshape(bs, n_mod, nv, e * nh)
+    slide = pooled.reshape(bs, n_mod, nv, nh * e)
     slide_embs = _linear(params["projector"], slide)
     return slide_embs, token_embs
 
@@ -197,9 +198,9 @@ def encode(
         params["wsi_embedders"], feats,
         n_heads=cfg.n_heads, activation=cfg.activation, mask=mask,
         train=False, use_pallas=use_pallas,
-    )                                       # [bs, e, nh]
-    bs, e, nh = pooled.shape
-    return _linear(params["projector"], pooled.reshape(bs, e * nh))
+    )                                       # [bs, nh, e]
+    bs, nh, e = pooled.shape
+    return _linear(params["projector"], pooled.reshape(bs, nh * e))
 
 
 def encode_with_attention(
@@ -217,8 +218,8 @@ def encode_with_attention(
         n_heads=cfg.n_heads, activation=cfg.activation, mask=mask,
         train=False, return_attention=True, use_pallas=False,
     )
-    bs, e, nh = pooled.shape
-    emb = _linear(params["projector"], pooled.reshape(bs, e * nh))
+    bs, nh, e = pooled.shape
+    emb = _linear(params["projector"], pooled.reshape(bs, nh * e))
     return emb, raw_attn
 
 

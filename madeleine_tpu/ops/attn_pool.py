@@ -18,11 +18,11 @@ Two paths:
   - `_pool_pallas`: fused streaming kernel (softmax activation), used on the
     inference path where bags can be 10^3..10^5 tokens.
 
-Layout note: token features arrive as [b, t, e, nh] with head minor (the
-reference's 'b t (e c)' split, Model.py:396). The kernel consumes the flat
-[b, t, E=e*nh] view so the lane dimension stays wide and contiguous; the
-per-head softmax weights are tiled lane-wise (pattern [p0..p_{nh-1}] * e) to
-match that interleaved layout.
+Layout note: token features arrive HEAD-MAJOR as [b, t, nh, e] (see
+models/abmil.py — the reference's head-minor '(e c)' order is permuted once in
+the checkpoint bridge). The kernel consumes the flat [b, t, E=nh*e] view so the
+lane dimension stays wide and contiguous; per-head softmax weights tile
+lane-wise in e-sized runs ([p0]*e ++ [p1]*e ++ ...).
 """
 
 from __future__ import annotations
@@ -53,7 +53,7 @@ def _normalize_mask(mask: Optional[jnp.ndarray], b: int, t: int) -> Optional[jnp
 # ---------------------------------------------------------------------------
 
 def _pool_reference(
-    xh: jnp.ndarray,          # [b, t, e, nh]
+    xh: jnp.ndarray,          # [b, t, nh, e]
     logits: jnp.ndarray,      # [b, t, nh]
     mask: Optional[jnp.ndarray],   # [b, t] or None
     activation: str,
@@ -65,7 +65,7 @@ def _pool_reference(
     # HIGHEST: XLA lowers this to an MXU batched matmul whose default precision
     # truncates f32 operands to bf16 (~1e-2 relative error on the pooled sums)
     pooled = jnp.einsum(
-        "bteh,bth->beh", xh.astype(jnp.float32), attn.astype(jnp.float32),
+        "bthe,bth->bhe", xh.astype(jnp.float32), attn.astype(jnp.float32),
         precision=jax.lax.Precision.HIGHEST,
     )
     return pooled.astype(xh.dtype)
@@ -76,19 +76,19 @@ def _pool_reference(
 # ---------------------------------------------------------------------------
 
 def _head_expand_matrix(e: int, nh: int) -> jnp.ndarray:
-    """M [nh, E] with M[h, i] = (i % nh == h): `v @ M` tiles a per-head vector
-    [*, nh] to the interleaved head-minor feature layout [*, E] as one small
-    matmul — Mosaic-friendly (lane-splitting reshapes are not supported)."""
+    """M [nh, E] with M[h, i] = (i // e == h): `v @ M` tiles a per-head vector
+    [*, nh] to the head-major feature layout [*, E] as one small matmul —
+    Mosaic-friendly (lane-splitting reshapes are not supported)."""
     E = e * nh
     col = jax.lax.broadcasted_iota(jnp.int32, (nh, E), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (nh, E), 0)
-    return (col % nh == row).astype(jnp.float32)
+    return (col // e == row).astype(jnp.float32)
 
 
 def _pool_kernel(x_ref, l_ref, o_ref, m_acc, s_acc, w_acc, *, e: int, nh: int):
     """Grid = (b, num_t_blocks); t innermost so VMEM accumulators carry.
 
-    x_ref: [1, T_BLK, E] token features (E = e*nh, head-minor)
+    x_ref: [1, T_BLK, E] token features (E = nh*e, head-major)
     l_ref: [1, T_BLK, nh] pre-masked logits (padding already filled w/ NEG_INF)
     o_ref: [1, 1, E] pooled output (written on the last t block)
     scratch: m_acc [1, nh] running max, s_acc [1, nh] running denom,
@@ -176,7 +176,7 @@ def _pool_pallas(y: jnp.ndarray, logits_masked: jnp.ndarray, *, e: int, nh: int,
 # ---------------------------------------------------------------------------
 
 def masked_attention_pool(
-    xh: jnp.ndarray,               # [b, t, e, nh]
+    xh: jnp.ndarray,               # [b, t, nh, e] (head-major)
     logits: jnp.ndarray,           # [b, t, nh]
     mask: Optional[jnp.ndarray] = None,   # [b, t] / [1, t] / [t]
     activation: str = "softmax",
@@ -184,12 +184,12 @@ def masked_attention_pool(
     t_block: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Attention-pool token features per head. Returns [b, e, nh].
+    """Attention-pool token features per head. Returns [b, nh, e].
 
     `use_pallas=None` auto-selects: fused kernel on TPU for softmax activation,
     pure-XLA fallback elsewhere (CPU tests, non-softmax activations, AD).
     """
-    b, t, e, nh = xh.shape
+    b, t, nh, e = xh.shape
     mask = _normalize_mask(mask, b, t)
 
     if use_pallas is None:
@@ -203,13 +203,13 @@ def masked_attention_pool(
     l32 = logits.astype(jnp.float32)
     if mask is not None:
         l32 = jnp.where(mask[..., None], l32, NEG_INF)
-    y = xh.reshape(b, t, e * nh)
+    y = xh.reshape(b, t, nh * e)
     tb = min(t_block, max(8, t))
     if interpret:
         pooled = _pool_pallas_interpret(y, l32, e=e, nh=nh, t_block=tb)
     else:
         pooled = _pool_pallas(y, l32, e=e, nh=nh, t_block=tb)
-    return pooled.reshape(b, e, nh)
+    return pooled.reshape(b, nh, e)
 
 
 FusedPoolResidual = None  # (doc anchor) residuals = (xh, logits, mask)
@@ -233,23 +233,23 @@ def _fused_pool_fwd(xh, logits, mask, activation, use_pallas, t_block):
 
 
 def _fused_pool_bwd(activation, use_pallas, t_block, res, g):
-    """Backward of pooled[b,e,h] = sum_t a[b,t,h] x[b,t,e,h], a = softmax(l):
-      dx[t,e,h] = a[t,h] g[e,h]
+    """Backward of pooled[b,h,e] = sum_t a[b,t,h] x[b,t,h,e], a = softmax(l):
+      dx[t,h,e] = a[t,h] g[h,e]
       dl[t,h]   = a[t,h] (da[t,h] - sum_t' a[t',h] da[t',h]),
-                  da[t,h] = sum_e g[e,h] x[t,e,h]
+                  da[t,h] = sum_e g[h,e] x[t,h,e]
     (softmax activation only — the training path always uses softmax)."""
     from madeleine_tpu.models.abmil import activate_attention
 
     xh, logits, mask = res
-    b, t, e, nh = xh.shape
+    b, t, nh, e = xh.shape
     m = _normalize_mask(mask, b, t)
     mm = None if m is None else m[..., None]
     a = activate_attention(logits.astype(jnp.float32), activation, mm,
                            axis=-2)                             # [b, t, nh]
     g32 = g.astype(jnp.float32)
-    dx = (a[..., None, :] * g32[:, None]).astype(xh.dtype)      # [b, t, e, nh]
+    dx = (a[..., None] * g32[:, None]).astype(xh.dtype)         # [b, t, nh, e]
     if activation == "softmax":
-        da = jnp.einsum("beh,bteh->bth", g32, xh.astype(jnp.float32),
+        da = jnp.einsum("bhe,bthe->bth", g32, xh.astype(jnp.float32),
                         precision=jax.lax.Precision.HIGHEST)
         inner = jnp.sum(a * da, axis=1, keepdims=True)
         dl = (a * (da - inner)).astype(logits.dtype)

@@ -43,7 +43,7 @@ def _local_pool(params, feats, mask, *, cfg: MadeleineConfig, axis_name: str):
     nh = cfg.n_heads
     y = pre_attn_mlp(params["wsi_embedders"]["pre_attn"], feats)
     hidden = y.shape[-1] // nh
-    xh = y.reshape(*y.shape[:-1], hidden, nh)
+    xh = y.reshape(*y.shape[:-1], nh, hidden)   # head-major split
     logits = gated_attention_logits(params["wsi_embedders"]["attn"], xh)
     l32 = logits.astype(jnp.float32)
     if mask is not None:
@@ -54,13 +54,13 @@ def _local_pool(params, feats, mask, *, cfg: MadeleineConfig, axis_name: str):
     p = jnp.exp(l32 - m_glob[:, None, :])                 # [b, t_l, nh]
     s = jax.lax.psum(jnp.sum(p, axis=1), axis_name)       # [b, nh]
     w = jax.lax.psum(
-        jnp.einsum("bteh,bth->beh", xh.astype(jnp.float32), p,
+        jnp.einsum("bthe,bth->bhe", xh.astype(jnp.float32), p,
                    precision=jax.lax.Precision.HIGHEST),
-        axis_name)                                        # [b, e, nh]
-    pooled = w / jnp.maximum(s, 1e-30)[:, None, :]
+        axis_name)                                        # [b, nh, e]
+    pooled = w / jnp.maximum(s, 1e-30)[..., None]
     b = pooled.shape[0]
     emb = _linear(params["projector"],
-                  pooled.reshape(b, hidden * nh).astype(feats.dtype))
+                  pooled.reshape(b, nh * hidden).astype(feats.dtype))
     return emb
 
 

@@ -14,12 +14,12 @@ from madeleine_tpu.ops.attn_pool import masked_attention_pool
 
 
 @pytest.mark.parametrize("shape", [
-    (2, 100, 64, 4),    # multi-block (t_block=32)
-    (1, 31, 64, 2),     # single ragged block
-    (3, 64, 128, 1),    # single head
+    (2, 100, 4, 64),    # multi-block (t_block=32)
+    (1, 31, 2, 64),     # single ragged block
+    (3, 64, 1, 128),    # single head
 ])
 def test_kernel_matches_reference(shape):
-    b, t, e, nh = shape
+    b, t, nh, e = shape
     rng = np.random.default_rng(0)
     xh = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
     lg = jnp.asarray((rng.standard_normal((b, t, nh)) * 3).astype(np.float32))
@@ -32,7 +32,7 @@ def test_kernel_matches_reference(shape):
 
 def test_kernel_no_mask():
     rng = np.random.default_rng(1)
-    xh = jnp.asarray(rng.standard_normal((2, 90, 64, 4)).astype(np.float32))
+    xh = jnp.asarray(rng.standard_normal((2, 90, 4, 64)).astype(np.float32))
     lg = jnp.asarray(rng.standard_normal((2, 90, 4)).astype(np.float32))
     ref = masked_attention_pool(xh, lg, None, use_pallas=False)
     got = masked_attention_pool(xh, lg, None, interpret=True, t_block=32)
@@ -43,7 +43,7 @@ def test_kernel_no_mask():
 def test_kernel_extreme_logits():
     """Online softmax must survive large logit ranges without overflow."""
     rng = np.random.default_rng(2)
-    xh = jnp.asarray(rng.standard_normal((1, 64, 32, 2)).astype(np.float32))
+    xh = jnp.asarray(rng.standard_normal((1, 64, 2, 32)).astype(np.float32))
     lg = jnp.asarray((rng.standard_normal((1, 64, 2)) * 50).astype(np.float32))
     ref = masked_attention_pool(xh, lg, None, use_pallas=False)
     got = masked_attention_pool(xh, lg, None, interpret=True, t_block=16)
@@ -55,8 +55,8 @@ def test_kernel_extreme_logits():
 def test_kernel_fully_masked_row_is_zeroish():
     """A fully padded batch row must produce finite output (content unused)."""
     rng = np.random.default_rng(3)
-    xh = jnp.zeros((2, 32, 16, 2), jnp.float32).at[0].set(
-        jnp.asarray(rng.standard_normal((32, 16, 2)), jnp.float32))
+    xh = jnp.zeros((2, 32, 2, 16), jnp.float32).at[0].set(
+        jnp.asarray(rng.standard_normal((32, 2, 16)), jnp.float32))
     lg = jnp.asarray(rng.standard_normal((2, 32, 2)).astype(np.float32))
     mask = jnp.zeros((2, 32), bool).at[0].set(True)
     got = masked_attention_pool(xh, lg, mask, interpret=True, t_block=16)
@@ -66,7 +66,7 @@ def test_kernel_fully_masked_row_is_zeroish():
 
 def test_mask_broadcast_shapes():
     rng = np.random.default_rng(4)
-    xh = jnp.asarray(rng.standard_normal((3, 40, 16, 2)).astype(np.float32))
+    xh = jnp.asarray(rng.standard_normal((3, 40, 2, 16)).astype(np.float32))
     lg = jnp.asarray(rng.standard_normal((3, 40, 2)).astype(np.float32))
     m1d = jnp.asarray(rng.random(40) < 0.7)
     a = masked_attention_pool(xh, lg, m1d, use_pallas=False)
@@ -80,10 +80,10 @@ def test_fused_pool_gradients_match_xla():
     from madeleine_tpu.ops.attn_pool import fused_attention_pool
 
     rng = np.random.default_rng(5)
-    xh = jnp.asarray(rng.standard_normal((2, 50, 32, 2)).astype(np.float32))
+    xh = jnp.asarray(rng.standard_normal((2, 50, 2, 32)).astype(np.float32))
     lg = jnp.asarray(rng.standard_normal((2, 50, 2)).astype(np.float32))
     mask = jnp.asarray(rng.random((2, 50)) < 0.85)
-    g_out = jnp.asarray(rng.standard_normal((2, 32, 2)).astype(np.float32))
+    g_out = jnp.asarray(rng.standard_normal((2, 2, 32)).astype(np.float32))
 
     def loss_ref(xh, lg):
         out = masked_attention_pool(xh, lg, mask, use_pallas=False)
@@ -105,7 +105,7 @@ def test_fused_pool_forward_equals_reference():
     from madeleine_tpu.ops.attn_pool import fused_attention_pool
 
     rng = np.random.default_rng(6)
-    xh = jnp.asarray(rng.standard_normal((3, 40, 16, 4)).astype(np.float32))
+    xh = jnp.asarray(rng.standard_normal((3, 40, 4, 16)).astype(np.float32))
     lg = jnp.asarray(rng.standard_normal((3, 40, 4)).astype(np.float32))
     want = masked_attention_pool(xh, lg, None, use_pallas=False)
     got = fused_attention_pool(xh, lg, None, "softmax", False, 512)

@@ -97,7 +97,7 @@ def test_multiview_internal_consistency():
     whole = abmil_embed(params, bags, n_heads=2)
     views = abmil_embed(params, bags, n_heads=2, n_views=3,
                         view_rng=jax.random.PRNGKey(5))
-    assert views.shape == (3, 3, 16, 2)
+    assert views.shape == (3, 3, 2, 16)
     np.testing.assert_allclose(np.asarray(views[:, 0]), np.asarray(whole),
                                rtol=1e-5, atol=1e-6)
     # Each half view is a proper softmax pooling: reproduce with explicit masks
