@@ -254,6 +254,20 @@ def abmil_embed(
     # head-major split (bridge permutes the reference's '(e c)' order at load)
     xh = y.reshape(*y.shape[:-1], n_heads, hidden)
 
+    # Fully-fused gates+pool kernel on the inference fast path: gate
+    # activations never touch HBM (ops/gated_pool.py). Falls through to the
+    # two-step path whenever logits/tokens/views are needed or off-TPU.
+    fused_ok = (
+        not train and n_views == 1 and activation == "softmax"
+        and not return_attention and not return_tokens
+        and use_pallas is not False
+        and jax.default_backend() == "tpu"
+    )
+    if fused_ok:
+        from madeleine_tpu.ops.gated_pool import gated_attention_pool
+
+        return gated_attention_pool(params["attn"], xh, mask)
+
     raw_logits = gated_attention_logits(params["attn"], xh, dropout_rng=attn_rng, train=train)
 
     from madeleine_tpu.ops.attn_pool import masked_attention_pool
