@@ -73,6 +73,7 @@ class MadeleineConfig:
     pretrained: Optional[str] = None
 
     # ---- TPU-native extensions (no reference equivalent) ----
+    remat: bool = True                   # rematerialize the embedder in backward
     mesh_shape: Optional[int] = None     # data-parallel mesh size; None = all local devices
     checkpoint_every: int = 0            # extra periodic orbax checkpoints (0 = rank-gated only)
     profile_dir: Optional[str] = None    # jax.profiler trace output dir

@@ -124,9 +124,11 @@ def layer_norm(x: jnp.ndarray, p: Params) -> jnp.ndarray:
 
 
 def _dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    """Inverted dropout; TPU hardware-RNG kernel when available (ops/dropout.py
+    — threefry over the full activation set was ~60% of the train step)."""
+    from madeleine_tpu.ops.dropout import dropout
+
+    return dropout(x, rate, rng)
 
 
 def pre_attn_mlp(

@@ -121,43 +121,75 @@ def forward_train(
       token_embs:  [bs, n_mod, t, token_proj_dim]    (token_projector output)
     """
     bs, n_mod, t, d = feats.shape
-    x = feats.reshape(bs * n_mod, t, d)
-    m = None if mask is None else mask.reshape(bs * n_mod, t)
-
-    if cfg.add_stain_encoding:
-        # Stain id per flattened row. Documented deviation: the reference builds
-        # ids mod-major ([i]*bs per modality, Model.py:126-129) but flattens
-        # feats b-major (view(bs*n_mod, ...), Model.py:122), so its train-time
-        # stain encodings are misassigned whenever bs != 1; its eval path
-        # (Model.py:186) uses the correct per-stain id. We assign the correct
-        # b-major ids so train and eval agree.
-        stain_ids = jnp.tile(jnp.arange(n_mod), bs)
-        x = _append_stain_encoding(params, x, stain_ids)
 
     if train and rng is not None:
         drop_rng, view_rng = jax.random.split(rng)
     else:
         drop_rng, view_rng = None, (rng if rng is not None else jax.random.PRNGKey(0))
 
-    pooled, tokens = abmil_embed(
-        params["wsi_embedders"], x,
-        n_heads=cfg.n_heads, activation=cfg.activation, mask=m,
-        n_views=n_views, view_rng=view_rng, dropout_rng=drop_rng,
-        train=train, return_tokens=True, use_pallas=use_pallas,
-    )
-    if n_views == 1:
-        pooled = pooled[:, None]           # [bs*n_mod, 1, nh, e]
+    def _per_modality(feats_m, mask_m, mod_idx, drop_key):
+        """One modality's [bs, t, d] bags -> (slide [bs, nv, e], tokens
+        [bs, t, 128]). Tokens are projected to 128-d HERE so the full
+        [bs, t, hidden*nh] features never outlive the modality step."""
+        x = feats_m
+        if cfg.add_stain_encoding:
+            # Documented deviation: the reference builds train-time stain ids
+            # mod-major ([i]*bs, Model.py:126-129) but flattens feats b-major
+            # (Model.py:122), misassigning encodings whenever bs != 1; its eval
+            # path (Model.py:186) is correct. We use the correct per-stain id.
+            x = _append_stain_encoding(params, x, mod_idx)
+        pooled, tokens = abmil_embed(
+            params["wsi_embedders"], x,
+            n_heads=cfg.n_heads, activation=cfg.activation, mask=mask_m,
+            n_views=n_views, view_rng=view_rng, dropout_rng=drop_key,
+            train=train, return_tokens=True, use_pallas=use_pallas,
+        )
+        if n_views == 1:
+            pooled = pooled[:, None]              # [bs, 1, nh, e]
+        nh, e = tokens.shape[-2], tokens.shape[-1]
+        # token path (Model.py:138-140); projector rows bridge-permuted
+        tok_emb = _linear(params["token_projector"],
+                          tokens.reshape(bs, t, nh * e))
+        # slide path (Model.py:143-146)
+        slide_emb = _linear(params["projector"],
+                            pooled.reshape(bs, pooled.shape[1], nh * e))
+        return slide_emb, tok_emb
 
-    # token path: [bs*n_mod, t, nh, e] -> flatten heads -> 128-d
-    # (Model.py:138-140; projector rows are bridge-permuted to head-major)
-    nh, e = tokens.shape[-2], tokens.shape[-1]
-    tok = tokens.reshape(bs, n_mod, t, nh * e)
-    token_embs = _linear(params["token_projector"], tok)
+    if train:
+        # Sequential scan over modalities + remat: only ONE modality's
+        # embedder activations are ever live (canonical scale would otherwise
+        # need >25 GB of residuals for the joint [bs*n_mod, t, *] backward).
+        # Each step still feeds bs*t tokens to the MXU, so throughput holds.
+        drop_keys = (jax.random.split(drop_rng, n_mod)
+                     if drop_rng is not None
+                     else jnp.zeros((n_mod, 2), jnp.uint32))
 
-    # slide path: flatten heads -> projector -> [bs, n_mod, n_views, e] (Model.py:143-146)
-    nv = pooled.shape[1]
-    slide = pooled.reshape(bs, n_mod, nv, nh * e)
-    slide_embs = _linear(params["projector"], slide)
+        def body(_, inp):
+            feats_m, mask_m, mod_idx, key = inp
+            out = _per_modality(feats_m, mask_m, mod_idx,
+                                key if drop_rng is not None else None)
+            return None, out
+
+        scan_body = jax.checkpoint(body) if cfg.remat else body
+        feats_t = jnp.swapaxes(feats, 0, 1)        # [n_mod, bs, t, d]
+        mask_t = (jnp.swapaxes(mask, 0, 1) if mask is not None
+                  else jnp.ones((n_mod, bs, t), bool))
+        _, (slides, toks) = jax.lax.scan(
+            scan_body, None,
+            (feats_t, mask_t, jnp.arange(n_mod), drop_keys))
+        slide_embs = jnp.swapaxes(slides, 0, 1)    # [bs, n_mod, nv, e]
+        token_embs = jnp.swapaxes(toks, 0, 1)      # [bs, n_mod, t, 128]
+        return slide_embs, token_embs
+
+    # eval/parity path: all modalities vectorized at once
+    outs = [
+        _per_modality(feats[:, i],
+                      None if mask is None else mask[:, i],
+                      i, None)
+        for i in range(n_mod)
+    ]
+    slide_embs = jnp.stack([o[0] for o in outs], axis=1)
+    token_embs = jnp.stack([o[1] for o in outs], axis=1)
     return slide_embs, token_embs
 
 

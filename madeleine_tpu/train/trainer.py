@@ -130,8 +130,13 @@ def make_train_step(cfg: MadeleineConfig, tx: optax.GradientTransformation,
     def loss_fn(params, batch, rng):
         drop_rng, loss_rng = jax.random.split(rng)
         feats = batch["feats"].astype(dtype)
+        # mixed precision: compute in `dtype` with f32 master params (the
+        # autocast analog, ref trainer.py:108) — without this cast every
+        # bf16-x-f32 op promotes to f32, doubling activation memory
+        cparams = (params if dtype == jnp.float32
+                   else jax.tree.map(lambda p: p.astype(dtype), params))
         slide_embs, token_embs = mtm.forward_train(
-            params, cfg, feats, n_views=n_views, rng=drop_rng, train=True,
+            cparams, cfg, feats, n_views=n_views, rng=drop_rng, train=True,
             use_pallas=False)
         total, any_flag, metrics = compute_losses(
             cfg, slide_embs.astype(jnp.float32), token_embs,
