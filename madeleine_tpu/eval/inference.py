@@ -29,6 +29,30 @@ def _encode_jit(params, feats, mask, *, cfg: "HashableCfg", stain_idx: int):
     return mtm.encode(params, cfg.cfg, feats, stain_idx=stain_idx, mask=mask)
 
 
+_MESH_ENCODE_CACHE: dict = {}
+
+
+def _encode_sharded(params, feats, mask, *, cfg: "HashableCfg",
+                    stain_idx: int, mesh):
+    """Data-parallel encode: batch sharded over the mesh, params replicated
+    (XLA partitions the whole encoder; no collectives needed until the
+    gathered output)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = (cfg, stain_idx, mesh)
+    if key not in _MESH_ENCODE_CACHE:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        _MESH_ENCODE_CACHE[key] = jax.jit(
+            lambda p, f, m: mtm.encode(p, cfg.cfg, f, stain_idx=stain_idx,
+                                       mask=m),
+            in_shardings=(repl, data, data), out_shardings=data)
+    data = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    feats = jax.device_put(feats, data)
+    mask = jax.device_put(mask, data)
+    return _MESH_ENCODE_CACHE[key](params, feats, mask)
+
+
 class HashableCfg:
     """Static-arg wrapper: configs hash by identity so jit caches per config."""
 
@@ -49,10 +73,13 @@ def run_inference(
     *,
     stain_idx: int = 0,
     dtype=None,
+    mesh=None,
     verbose: bool = True,
 ) -> Tuple[Dict, float]:
     """Encode every bag the loader yields -> ({"embeds", "slide_ids"}, rank)
-    (ref: utils.py:27-66)."""
+    (ref: utils.py:27-66). Pass a mesh to shard batches over all devices
+    (batch-dim sizes from the bucketed loader are powers of two, so they
+    divide any power-of-two mesh)."""
     dtype = dtype or compute_dtype(cfg.precision)
     hcfg = HashableCfg(cfg)
     all_embeds, all_ids = [], []
@@ -60,7 +87,12 @@ def run_inference(
     for batch in Prefetcher(loader):
         feats = jnp.asarray(batch["feats"], dtype)
         mask = jnp.asarray(batch["mask"])
-        emb = _encode_jit(params, feats, mask, cfg=hcfg, stain_idx=stain_idx)
+        if mesh is not None and feats.shape[0] % mesh.size == 0:
+            emb = _encode_sharded(params, feats, mask, cfg=hcfg,
+                                  stain_idx=stain_idx, mesh=mesh)
+        else:
+            emb = _encode_jit(params, feats, mask, cfg=hcfg,
+                              stain_idx=stain_idx)
         emb = np.asarray(emb.astype(jnp.float32))
         n_valid = batch.get("n_valid", len(batch["slide_ids"]))
         all_embeds.append(emb[:n_valid])

@@ -90,3 +90,35 @@ def test_linear_probe_drops_minus_one_labels(tmp_path):
     metrics = eval_single_task(pkl, csv, ["her2"], ks=(5,), num_folds=2,
                                verbose=False, save=False)
     assert np.all(np.isfinite(metrics[(5, "her2")]["auc"]))
+
+
+def test_run_inference_sharded_matches_single(tmp_path):
+    """Mesh-sharded inference must produce identical embeddings."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from madeleine_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(7)
+    d = 16
+    bag_dir = tmp_path / "patch_embeddings"
+    bag_dir.mkdir()
+    for i in range(17):
+        write_bag(str(bag_dir / f"s{i}.h5"),
+                  rng.standard_normal((int(rng.integers(20, 120)), d)
+                                      ).astype(np.float32))
+    cfg = _tiny_cfg(d)
+    params = init_madeleine_params(jax.random.PRNGKey(0), cfg)
+
+    def make_loader():
+        return get_downstream_loader(str(tmp_path), buckets=(128,),
+                                     tokens_per_batch=1024)
+
+    res1, _ = run_inference(params, cfg, make_loader(), verbose=False)
+    mesh = make_mesh(8)
+    res2, _ = run_inference(params, cfg, make_loader(), mesh=mesh,
+                            verbose=False)
+    assert res1["slide_ids"] == res2["slide_ids"]
+    np.testing.assert_allclose(res2["embeds"], res1["embeds"],
+                               rtol=1e-5, atol=1e-6)
