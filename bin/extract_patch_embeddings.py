@@ -29,7 +29,8 @@ EXTENSIONS = (".svs", ".mrxs", ".tiff", ".tif", ".TIFF", ".ndpi",
 
 
 def process(slide_dir: str, out_dir: str, patch_mag: int, patch_size: int,
-            encoder_name: str, pixel_size: float) -> None:
+            encoder_name: str, pixel_size: float,
+            vit_checkpoint: str = None) -> None:
     from madeleine_tpu.preprocessing.segmentation import TissueSegmenter
     from madeleine_tpu.preprocessing.tile_embedder import (
         HandcraftedEncoder, TileEmbedder, make_conch_encoder)
@@ -47,6 +48,14 @@ def process(slide_dir: str, out_dir: str, patch_mag: int, patch_size: int,
 
     if encoder_name == "conch":
         encoder = make_conch_encoder()
+    elif encoder_name == "vit":
+        from madeleine_tpu.preprocessing.vit import (JaxViTEncoder,
+                                                     load_torch_vision_tower)
+        if not vit_checkpoint:
+            raise SystemExit("--encoder vit requires --vit_checkpoint "
+                             "(torch checkpoint with a visual.* tower)")
+        vcfg, vparams = load_torch_vision_tower(vit_checkpoint)
+        encoder = JaxViTEncoder(vcfg, vparams)
     else:
         encoder = HandcraftedEncoder()
     segmenter = TissueSegmenter(save_path=seg_path, batch_size=64)
@@ -71,11 +80,14 @@ if __name__ == "__main__":
     parser.add_argument("--patch_mag", type=int, default=10)
     parser.add_argument("--patch_size", type=int, default=256)
     parser.add_argument("--encoder", type=str, default="handcrafted",
-                        choices=["handcrafted", "conch"])
+                        choices=["handcrafted", "conch", "vit"])
+    parser.add_argument("--vit_checkpoint", type=str, default=None,
+                        help="torch checkpoint with an open_clip visual.* "
+                             "tower (runs on TPU via the JAX ViT)")
     parser.add_argument("--pixel_size", type=float, default=0.5,
                         help="fallback MPP when slide metadata lacks it")
     args = parser.parse_args()
 
     logger.info("Initiate run...")
     process(args.slide_dir, args.local_dir, args.patch_mag, args.patch_size,
-            args.encoder, args.pixel_size)
+            args.encoder, args.pixel_size, args.vit_checkpoint)

@@ -53,7 +53,12 @@ def save_heatmap(
     from PIL import Image
 
     grid, _ = attention_to_grid(coords, attention, patch_size)
-    g = np.nanmean(grid, axis=-1) if head is None else grid[..., head]
+    with np.errstate(invalid="ignore"):  # empty cells are all-NaN by design
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            g = np.nanmean(grid, axis=-1) if head is None else grid[..., head]
     valid = ~np.isnan(g)
     lo = np.nanmin(g) if valid.any() else 0.0
     hi = np.nanmax(g) if valid.any() else 1.0
