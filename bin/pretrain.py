@@ -80,8 +80,16 @@ def main() -> None:
             embedding_size=cfg.patch_embedding_dim,
             rng=np.random.default_rng(cfg.seed),
         )
-        loader = TrainLoader(dataset, cfg.batch_size, shuffle=True,
-                             seed=cfg.seed)
+        if cfg.n_subsamples == -1:
+            from madeleine_tpu.data.datasets import RaggedTrainLoader
+
+            loader = RaggedTrainLoader(dataset, cfg.batch_size, shuffle=True,
+                                       seed=cfg.seed)
+            print("* Full-bag (ragged) training: padded length buckets + "
+                  "token masks")
+        else:
+            loader = TrainLoader(dataset, cfg.batch_size, shuffle=True,
+                                 seed=cfg.seed)
         n_cases = len(dataset)
     steps_per_epoch = len(loader)
     print(f"* {n_cases} cases, {steps_per_epoch} steps/epoch")

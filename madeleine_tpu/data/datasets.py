@@ -171,6 +171,79 @@ class TrainLoader:
             yield out
 
 
+class RaggedTrainLoader:
+    """Full-bag multistain training batches: no token subsampling.
+
+    The reference cannot train on full bags at all (it must subsample to a
+    fixed 2048, ref: wsi_dataset.py:42-50). Here each batch pads every
+    (case, stain) bag to the batch's length bucket and carries a
+    [bs, n_mod, t] token mask; the train step's masked pooling + token-masked
+    GOT consume it. Buckets quantize the padded length so XLA compiles a
+    handful of shapes."""
+
+    def __init__(self, dataset: SlideDataset, batch_size: int,
+                 buckets: Sequence[int] = (1024, 2048, 4096, 8192, 16384),
+                 shuffle: bool = True, seed: int = 0,
+                 max_tokens: Optional[int] = None):
+        if dataset.sample != -1:
+            raise ValueError("RaggedTrainLoader expects sample=-1 datasets")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.buckets = sorted(buckets)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.rng = np.random.default_rng(seed)
+        self.max_tokens = max_tokens or self.buckets[-1]
+
+    def set_epoch(self, epoch: int) -> None:
+        self.rng = np.random.default_rng((self.seed, epoch))
+
+    def __len__(self) -> int:
+        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    def _bucket_of(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def __iter__(self) -> Iterator[Dict]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        for start in range(0, len(order), bs):
+            idx = order[start:start + bs]
+            items = [self.dataset[i] for i in idx]
+            n_valid = len(items)
+            while len(items) < bs:            # final-batch padding
+                items.append(items[0])
+            longest = max(f.shape[0] for it in items for f in it["feats"])
+            t = self._bucket_of(min(longest, self.max_tokens))
+            n_mod = len(items[0]["feats"])
+            d = items[0]["feats"][0].shape[1]
+            feats = np.zeros((bs, n_mod, t, d), np.float32)
+            token_mask = np.zeros((bs, n_mod, t), bool)
+            labels = np.zeros((bs, n_mod), np.float32)
+            for b, item in enumerate(items):
+                for m, f in enumerate(item["feats"]):
+                    n = min(f.shape[0], t)
+                    feats[b, m, :n] = f[:n]
+                    token_mask[b, m, :n] = True
+                labels[b] = np.asarray(item["modality_labels"], np.float32)
+            sample_mask = np.ones(bs, bool)
+            if n_valid < bs:
+                labels[n_valid:] = 0.0
+                sample_mask[n_valid:] = False
+            yield {
+                "feats": feats,
+                "modality_labels": labels,
+                "token_mask": token_mask,
+                "sample_mask": sample_mask,
+                "slide_ids": [it["slide_id"] for it in items[:n_valid]],
+            }
+
+
 # ---------------------------------------------------------------------------
 # Inference datasets
 # ---------------------------------------------------------------------------

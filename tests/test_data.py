@@ -174,3 +174,25 @@ def test_prefetcher_propagates_errors():
 def test_prefetcher_order():
     items = list(range(20))
     assert list(Prefetcher(items, depth=3)) == items
+
+
+def test_ragged_train_loader(tmp_path):
+    from madeleine_tpu.data.datasets import RaggedTrainLoader
+
+    csv_path, feat_dir = _write_cohort(tmp_path, n_cases=5)
+    ds = SlideDataset("TEST", csv_path, feat_dir, MODALITIES,
+                      embedding_size=16, sample=-1)
+    loader = RaggedTrainLoader(ds, batch_size=2, buckets=(64, 256),
+                               shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 3
+    for b in batches:
+        bs, n_mod, t, d = b["feats"].shape
+        assert (bs, n_mod, d) == (2, 3, 16)
+        assert t in (64, 256)
+        # masked-off padding is zero; valid counts match bag lengths
+        assert np.all(b["feats"][~b["token_mask"]] == 0)
+        assert b["token_mask"].any(axis=-1).all() or not b["sample_mask"].all()
+    # final batch padding is masked out
+    assert batches[-1]["sample_mask"].sum() == 1
+    loader.set_epoch(3)  # deterministic reseed API exists
