@@ -34,7 +34,7 @@ Documented deviations from reference bugs:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

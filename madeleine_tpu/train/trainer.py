@@ -21,7 +21,6 @@ as a single donated-state jitted step:
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
