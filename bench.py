@@ -33,7 +33,7 @@ def main() -> None:
     params = init_madeleine_params(jax.random.PRNGKey(0), cfg,
                                    dtype=jnp.bfloat16)
 
-    batch, tokens, d = 64, 4096, 512
+    batch, tokens, d = 256, 4096, 512
     rng = np.random.default_rng(0)
     feats = jnp.asarray(rng.standard_normal((batch, tokens, d)), jnp.bfloat16)
 
@@ -55,7 +55,7 @@ def main() -> None:
     carry = encode_chained(params, feats, carry)
     np.asarray(carry)
 
-    n_iters = 20
+    n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
         carry = encode_chained(params, feats, carry)
