@@ -106,3 +106,47 @@ def test_info_nce_global_gradients():
     for a, b in zip(g_want, g_got):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-7)
+
+
+@needs_8
+def test_stain_encoding_sharded_train_step():
+    """BASELINE config 5: stain-encoding pretraining with cross-chip
+    contrastive all-gather — sharded step == single-device step."""
+    from madeleine_tpu.parallel.mesh import shard_batch
+    from madeleine_tpu.train.optim import make_optimizer
+    from madeleine_tpu.train.trainer import init_train_state, make_train_step
+
+    cfg = MadeleineConfig(
+        patch_embedding_dim=12, wsi_encoder_hidden_dim=16,
+        attention_hidden_dim=16, n_heads=2, precision="float32",
+        add_stain_encoding=True, temperature=0.01, lr=1e-3,
+        global_loss="info-nce", symmetric_cl=True, local_loss="-1",
+        dataset="__test__", MODALITIES=["HE", "X", "Y"], max_epochs=2,
+        warmup=True, warmup_epochs=1, batch_size=16,
+    ).finalize()
+    params = init_madeleine_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=4)
+
+    rng = np.random.default_rng(11)
+    bs, n_mod, t, d = 16, 3, 20, 12
+    batch = {
+        "feats": jnp.asarray(rng.standard_normal((bs, n_mod, t, d)),
+                             jnp.float32),
+        "modality_labels": jnp.ones((bs, n_mod), jnp.float32),
+        "sample_mask": jnp.ones(bs, bool),
+    }
+
+    s1 = init_train_state(params, tx)
+    step1 = make_train_step(cfg, tx, donate=False)
+    s1, he1, m1 = step1(s1, batch, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(8)
+    s2 = init_train_state(params, tx)
+    step2 = make_train_step(cfg, tx, mesh=mesh, donate=False)
+    s2, he2, m2 = step2(s2, shard_batch(batch, mesh), jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
+    # stain-encoding table must receive identical gradients
+    np.testing.assert_allclose(
+        np.asarray(s2.params["embedding"]["table"]),
+        np.asarray(s1.params["embedding"]["table"]), rtol=1e-5, atol=1e-7)
