@@ -25,7 +25,6 @@ _SO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libbagio.so")
 
 MAGIC = 0x4741424D  # "MBAG"
 DTYPE_F32, DTYPE_BF16 = 0, 2
-_HEADER = struct.Struct("<IIQQII Q".replace(" ", ""))  # 40 bytes
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False

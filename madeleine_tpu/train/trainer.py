@@ -72,12 +72,50 @@ def compute_losses(
     any_flag = jnp.zeros((), bool)
     metrics: Dict[str, jnp.ndarray] = {}
 
-    got_rngs = jax.random.split(rng, n_mod)
+    stain_labels, stain_flags = [], []
     for stain_idx in range(1, n_mod):
         labels = modality_labels[:, stain_idx] > 0
         if sample_mask is not None:
             labels = labels & sample_mask
-        flag = jnp.sum(labels) > 1  # ref: trainer.py:26 (needs >=2 for CL)
+        stain_labels.append(labels)
+        stain_flags.append(jnp.sum(labels) > 1)  # ref trainer.py:26 (>=2 for CL)
+
+    # ---- local GOT: one batched transport over all stain pairs -----------
+    got_per_stain = None
+    if use_local:
+        t = token_embs.shape[2]
+        sub = min(cfg.got_subsample, t)
+        got_rngs = jax.random.split(rng, n_mod)
+
+        def subsample_side(tokens, mask, key):
+            """tokens [bs, t, d] -> [bs, sub, d]; masked per-sample draw when
+            a token mask is given, else a shared random permutation."""
+            if mask is not None:
+                logits = jnp.where(mask, 0.0, -1e30)
+                idx = jax.random.categorical(
+                    key, logits, axis=-1, shape=(sub, tokens.shape[0])).T
+                return jnp.take_along_axis(tokens, idx[..., None], axis=1)
+            idx = jax.random.permutation(key, t)[:sub]
+            return jnp.take(tokens, idx, axis=1)
+
+        vs, qs = [], []
+        for s, stain_idx in enumerate(range(1, n_mod)):
+            k_v, k_q = jax.random.split(got_rngs[stain_idx])
+            tm_he = None if token_mask is None else token_mask[:, HE_POSITION]
+            tm_st = None if token_mask is None else token_mask[:, stain_idx]
+            if token_mask is None:
+                # reference-style shared index set per stain pair
+                vs.append(subsample_side(token_embs[:, HE_POSITION], None, k_v))
+                qs.append(subsample_side(token_embs[:, stain_idx], None, k_v))
+            else:
+                vs.append(subsample_side(token_embs[:, HE_POSITION], tm_he, k_v))
+                qs.append(subsample_side(token_embs[:, stain_idx], tm_st, k_q))
+        got_per_stain = L.got_loss_multi(
+            jnp.stack(vs), jnp.stack(qs),
+            sample_mask=jnp.stack(stain_labels))            # [n_mod-1]
+
+    for s, stain_idx in enumerate(range(1, n_mod)):
+        labels, flag = stain_labels[s], stain_flags[s]
         stain_total = jnp.zeros((), jnp.float32)
 
         if use_global:
@@ -87,16 +125,7 @@ def compute_losses(
                            symmetric=cfg.symmetric_cl, mask=labels)
             stain_total += g
         if use_local:
-            # ragged bags: each side samples its own valid tokens
-            tm = (None if token_mask is None else
-                  (token_mask[:, HE_POSITION], token_mask[:, stain_idx]))
-            got = L.got_loss(token_embs[:, HE_POSITION],
-                             token_embs[:, stain_idx],
-                             sample_mask=labels,
-                             token_mask=tm,
-                             subsample=cfg.got_subsample,
-                             rng=got_rngs[stain_idx])
-            stain_total += cfg.local_loss_weight * got
+            stain_total += cfg.local_loss_weight * got_per_stain[s]
         if use_intra:
             # two half-bag views of HE and of the stain (ref: trainer.py:51-66)
             intra = L.make_intra_loss(cfg.intra_modality_mode_wsi,
@@ -210,10 +239,25 @@ def train_loop(
     losses, skips, embeds_dev, masks = [], [], [], []
     t0 = time.time()
 
+    # convert on host before the transfer: a canonical batch is 1.36 GB f32,
+    # and host->device bandwidth (PCIe or, worse, a tunnel) is the scarce
+    # resource — bf16 halves it
+    host_dtype = None
+    if compute_dtype(cfg.precision) == jnp.bfloat16:
+        try:
+            import ml_dtypes
+
+            host_dtype = ml_dtypes.bfloat16
+        except ImportError:
+            pass
+
     for b_idx, batch in enumerate(dataloader):
         step_rng = jax.random.fold_in(jax.random.fold_in(rng_key, epoch), b_idx)
+        feats_host = batch["feats"]
+        if host_dtype is not None and feats_host.dtype != host_dtype:
+            feats_host = feats_host.astype(host_dtype)
         device_batch = {
-            "feats": jnp.asarray(batch["feats"]),
+            "feats": jnp.asarray(feats_host),
             "modality_labels": jnp.asarray(batch["modality_labels"]),
             "sample_mask": jnp.asarray(
                 batch.get("sample_mask",

@@ -148,3 +148,21 @@ def test_smooth_rank_wide_matrix(reference_models):
     want = ref_rank(torch.from_numpy(x))
     got = float(smooth_rank_measure(jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-3)
+
+
+def test_got_loss_multi_matches_individual():
+    """Batched all-stain GOT must equal per-stain got_loss calls (per-group
+    thresholds preserved)."""
+    rng = np.random.default_rng(10)
+    S, b, n, d = 3, 5, 12, 8
+    v = rng.standard_normal((S, b, n, d)).astype(np.float32)
+    q = rng.standard_normal((S, b, n, d)).astype(np.float32)
+    mask = rng.random((S, b)) < 0.8
+
+    multi = np.asarray(L.got_loss_multi(jnp.asarray(v), jnp.asarray(q),
+                                        sample_mask=jnp.asarray(mask)))
+    for s in range(S):
+        single = float(L.got_loss(jnp.asarray(v[s]), jnp.asarray(q[s]),
+                                  sample_mask=jnp.asarray(mask[s])))
+        np.testing.assert_allclose(multi[s], single, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"stain {s}")
