@@ -72,7 +72,7 @@ def _apply(x: jnp.ndarray, seed: jnp.ndarray, rate: float,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def hardware_dropout(x: jnp.ndarray, seed: jnp.ndarray, rate: float,
-                     block_rows: int = 256) -> jnp.ndarray:
+                     block_rows: int = 512) -> jnp.ndarray:
     """Inverted dropout with TPU hardware RNG. seed: uint32/int32 scalar."""
     return _apply(x, seed, rate, block_rows)
 
