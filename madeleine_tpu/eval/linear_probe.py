@@ -63,7 +63,12 @@ def load_and_split(
 
     train_ids: List[str] = []
     for cls in classes:
-        train_ids += labels[labels[study] == cls].sample(k)["slide_id"].tolist()
+        cls_rows = labels[labels[study] == cls]
+        k_eff = min(k, len(cls_rows))
+        if k_eff < k:
+            print(f"* warning: class {cls} has only {len(cls_rows)} slides; "
+                  f"sampling k={k_eff} (reference would crash here)")
+        train_ids += cls_rows.sample(k_eff)["slide_id"].tolist()
     test_ids = labels[~labels["slide_id"].isin(train_ids)]["slide_id"].tolist()
 
     lab_by_id = dict(zip(labels["slide_id"], labels[study]))
