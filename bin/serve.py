@@ -28,10 +28,12 @@ if __name__ == "__main__":
     parser.add_argument("--max_batch", type=int, default=32)
     parser.add_argument("--max_wait_ms", type=float, default=5.0)
     parser.add_argument("--no_download", action="store_true")
+    parser.add_argument("--warmup", action="store_true",
+                        help="pre-compile all bucket shapes before serving")
     args = parser.parse_args()
 
     cfg, params, _ = create_model_from_pretrained(
         os.path.join(args.model_dir, "MADELEINE"),
         download=not args.no_download)
-    serve(params, cfg, host=args.host, port=args.port,
+    serve(params, cfg, host=args.host, port=args.port, warmup=args.warmup,
           max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)

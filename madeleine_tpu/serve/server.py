@@ -76,6 +76,20 @@ class EmbeddingService:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    def warmup(self, batch_sizes=(1, 8), verbose: bool = True) -> None:
+        """Pre-compile (bucket x batch) executables so first requests don't
+        pay multi-second XLA compiles. Call before accepting traffic."""
+        import jax.numpy as jnp
+
+        d = self.cfg.patch_embedding_dim
+        for bucket in self.buckets:
+            for bs in batch_sizes:
+                feats = jnp.zeros((bs, bucket, d), self.dtype)
+                mask = jnp.ones((bs, bucket), bool)
+                self._encode(self.params, feats, mask).block_until_ready()
+                if verbose:
+                    print(f"* warmed bucket={bucket} bs={bs}")
+
     # ------------------------------------------------------------------
     def encode(self, feats: np.ndarray, timeout: float = 60.0) -> np.ndarray:
         """Blocking single-bag encode (thread-safe)."""
@@ -215,9 +229,11 @@ def make_handler(service: EmbeddingService):
 
 
 def serve(params, cfg: MadeleineConfig, host: str = "0.0.0.0",
-          port: int = 8000, **service_kw):
+          port: int = 8000, warmup: bool = False, **service_kw):
     """Blocking serve loop. Returns (server, service) if you need handles."""
     service = EmbeddingService(params, cfg, **service_kw)
+    if warmup:
+        service.warmup()
     server = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"* Serving MADELEINE embeddings on {host}:{port} "
           f"(embed_dim={cfg.embed_dim})")

@@ -130,3 +130,11 @@ def test_http_roundtrip(service):
         assert stats["slides"] >= 2
     finally:
         server.shutdown()
+
+
+def test_warmup_compiles_buckets(service):
+    svc, _, _ = service
+    svc.warmup(batch_sizes=(1,), verbose=False)
+    # after warmup, a request still round-trips correctly
+    out = svc.encode(np.zeros((10, 8), np.float32))
+    assert out.shape == (16,)
