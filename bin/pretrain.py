@@ -62,14 +62,23 @@ def main() -> None:
         native = "on" if glob.glob(os.path.join(cfg.data_root_dir or "",
                                                 "*.bag")) else "off"
     if native == "on":
-        from madeleine_tpu.native.dataset import NativeTrainLoader
+        if cfg.n_subsamples == -1:
+            from madeleine_tpu.native.dataset import NativeRaggedLoader
 
-        loader = NativeTrainLoader(
-            cfg.csv_fpath, cfg.data_root_dir, cfg.MODALITIES,
-            embedding_size=cfg.patch_embedding_dim, sample=cfg.n_subsamples,
-            batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed)
+            loader = NativeRaggedLoader(
+                cfg.csv_fpath, cfg.data_root_dir, cfg.MODALITIES,
+                embedding_size=cfg.patch_embedding_dim,
+                batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed)
+            print("* Native .bag loader, full-bag (ragged) batches")
+        else:
+            from madeleine_tpu.native.dataset import NativeTrainLoader
+
+            loader = NativeTrainLoader(
+                cfg.csv_fpath, cfg.data_root_dir, cfg.MODALITIES,
+                embedding_size=cfg.patch_embedding_dim, sample=cfg.n_subsamples,
+                batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed)
+            print("* Native .bag loader (C++ threaded assembler)")
         n_cases = len(loader.df)
-        print("* Native .bag loader (C++ threaded assembler)")
     else:
         dataset = SlideDataset(
             dataset_name=cfg.dataset,

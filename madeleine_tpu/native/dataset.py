@@ -118,3 +118,62 @@ class NativeTrainLoader:
             for r in case:
                 if r is not None:
                     r.close()
+
+
+class NativeRaggedLoader(NativeTrainLoader):
+    """Full-bag (ragged) batches from .bag files via the C++ assembler.
+
+    The assembler zero-fills out-of-range rows, so padding a bag to its
+    bucket is just gathering indices [0, bucket) — one threaded pass fills
+    features AND padding; token masks come from the stored bag lengths."""
+
+    def __init__(self, *args, buckets=(1024, 2048, 4096, 8192, 16384),
+                 max_tokens: Optional[int] = None, **kw):
+        kw.setdefault("sample", -1)
+        super().__init__(*args, **kw)
+        self.buckets = sorted(buckets)
+        self.max_tokens = max_tokens or self.buckets[-1]
+        self._buf = None  # bucket-sized buffers allocated lazily
+
+    def _bucket_of(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def __iter__(self) -> Iterator[Dict]:
+        order = np.arange(len(self.df))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        bs, n_mod = self.batch_size, len(self.modalities)
+        for start in range(0, len(order), bs):
+            sel = order[start:start + bs]
+            n_valid = len(sel)
+            if n_valid < bs:
+                if not self.pad_final:
+                    break
+                sel = np.concatenate([sel, np.repeat(sel[:1], bs - n_valid)])
+            readers = [self.readers[i][m] for i in sel for m in range(n_mod)]
+            lengths = np.asarray(
+                [0 if r is None else min(r.n_rows, self.max_tokens)
+                 for r in readers], np.int64)
+            t = self._bucket_of(int(lengths.max()) if lengths.size else 1)
+            idx = np.broadcast_to(np.arange(t, dtype=np.int64),
+                                  (len(readers), t))
+            feats = assemble_batch(readers, np.ascontiguousarray(idx), self.d,
+                                   n_threads=self.n_threads)
+            token_mask = (np.arange(t)[None, :]
+                          < lengths[:, None]).reshape(bs, n_mod, t)
+            labels = self.labels[sel].copy()
+            sample_mask = np.ones(bs, bool)
+            if n_valid < bs:
+                labels[n_valid:] = 0.0
+                sample_mask[n_valid:] = False
+            yield {
+                "feats": feats.reshape(bs, n_mod, t, self.d),
+                "modality_labels": labels,
+                "token_mask": token_mask,
+                "sample_mask": sample_mask,
+                "slide_ids": [str(self.df.iloc[i]["slide_id"])
+                              for i in sel[:n_valid]],
+            }

@@ -166,3 +166,44 @@ def test_io_layer_reads_bag_files(tmp_path, native_lib):
     np.testing.assert_array_equal(
         bag_io.load_coords(str(tmp_path / "s0.bag")), coords)
     assert bag_io.bag_length(str(tmp_path / "s0.bag")) == 25
+
+
+def test_native_ragged_loader(tmp_path, native_lib):
+    """NativeRaggedLoader: full bags padded to buckets with correct masks."""
+    from madeleine_tpu.native.dataset import NativeRaggedLoader
+
+    rng = np.random.default_rng(8)
+    mods = ["HE", "X"]
+    rows = []
+    lengths = {}
+    for i in range(5):
+        sid = f"c{i}"
+        labs = {"HE": 1, "X": int(i != 2)}
+        for m, lab in labs.items():
+            if lab:
+                n = int(rng.integers(30, 120))
+                lengths[(sid, m)] = n
+                bagio.write_bag_file(str(tmp_path / f"{sid}_{m}.bag"),
+                                     rng.standard_normal((n, 8)).astype(np.float32))
+        rows.append({"slide_id": sid, **labs, "split": "train"})
+    csv = str(tmp_path / "c.csv")
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    loader = NativeRaggedLoader(csv, str(tmp_path), mods, embedding_size=8,
+                                batch_size=2, buckets=(64, 128), shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 3
+    seen = 0
+    for b in batches:
+        bs, n_mod, t, d = b["feats"].shape
+        assert t in (64, 128)
+        assert b["token_mask"].shape == (bs, n_mod, t)
+        # masked region is zero
+        assert np.all(b["feats"][~b["token_mask"]] == 0)
+        for j, sid in enumerate(b["slide_ids"]):
+            seen += 1
+            for m_idx, m in enumerate(mods):
+                n = lengths.get((sid, m), 0)
+                assert b["token_mask"][j, m_idx].sum() == min(n, t)
+    assert seen == 5
+    loader.close()
