@@ -79,3 +79,35 @@ def test_torch_export_reimport(tmp_path):
     assert os.path.exists(str(tmp_path / "model_config.json"))
     saved_cfg = MadeleineConfig.from_json(str(tmp_path / "model_config.json"))
     assert saved_cfg.n_heads == cfg.n_heads
+
+
+def test_exported_checkpoint_loads_in_reference(tmp_path, reference_models):
+    """The ultimate interop proof: a model.pt exported from JAX params loads
+    through the REFERENCE torch code (strict=True, ref Model.py:28-41) and its
+    encode_he matches ours."""
+    import torch
+    from argparse import Namespace
+
+    ref_model_mod, _ = reference_models
+
+    cfg = MadeleineConfig(
+        patch_embedding_dim=24, wsi_encoder_hidden_dim=512,
+        attention_hidden_dim=512, n_heads=2, precision="float32",
+        dataset="__test__", MODALITIES=["HE", "X", "Y"],
+    ).finalize()
+    params = init_madeleine_params(jax.random.PRNGKey(3), cfg)
+    path = ckpt.save_best_torch(str(tmp_path), params, cfg)
+
+    ref_cfg = Namespace(MODALITIES=list(cfg.MODALITIES), wsi_encoder="abmil",
+                        patch_embedding_dim=24, wsi_encoder_hidden_dim=512,
+                        activation="softmax", n_heads=2, precision="float32")
+    ref = ref_model_mod.create_model(ref_cfg, device="cpu",
+                                     checkpoint_path=path)
+    ref.eval()
+
+    feats = np.random.default_rng(0).standard_normal((2, 30, 24)).astype(
+        np.float32)
+    with torch.no_grad():
+        want = ref.encode_he(torch.from_numpy(feats), device="cpu").numpy()
+    got = np.asarray(encode_he(params, cfg, jnp.asarray(feats)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
