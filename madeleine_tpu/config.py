@@ -91,8 +91,11 @@ class MadeleineConfig:
 
         Ref semantics: setup() injects MODALITIES/STAINS (setup_components.py:106-117),
         get_args() derives EXP_CODE and an md5 hash dir (process_args.py:68-85).
+        An explicitly-provided MODALITIES list (e.g. from a checkpoint's
+        model_config.json) takes precedence over the dataset registry.
         """
-        if self.dataset in MODALITY_DICTS:
+        if not getattr(self, "_explicit_modalities", False) \
+                and self.dataset in MODALITY_DICTS:
             self.MODALITIES = list(MODALITY_DICTS[self.dataset])
         self.STAINS = [m for i, m in enumerate(self.MODALITIES) if i != HE_POSITION]
         self.EXP_CODE = (
@@ -140,6 +143,8 @@ class MadeleineConfig:
             if k in field_names and v is not None:
                 kwargs[k] = v
         cfg = cls(**kwargs)
+        if "MODALITIES" in kwargs:
+            cfg._explicit_modalities = True
         if not cfg.STAINS:
             cfg.finalize()
         return cfg
