@@ -50,18 +50,28 @@ class NativeTrainLoader:
         # Open every present (case, stain) bag once; handles are mmaps, cheap.
         self.readers: List[List[Optional[BagReader]]] = []
         self.labels = np.zeros((len(self.df), len(self.modalities)), np.float32)
+        n_missing = 0
         for i, row in self.df.iterrows():
             sid = row["slide_id"]
             suffix = "" if row.get("split", "train") == "train" else f"_{row['split']}"
             case: List[Optional[BagReader]] = []
             for m_idx, m in enumerate(self.modalities):
                 path = os.path.join(bag_dir, f"{sid}_{m}{suffix}.bag")
-                if int(row.get(m, 0)) == 1 and os.path.exists(path):
-                    case.append(BagReader(path))
-                    self.labels[i, m_idx] = 1.0
+                if int(row.get(m, 0)) == 1:
+                    if os.path.exists(path):
+                        case.append(BagReader(path))
+                        self.labels[i, m_idx] = 1.0
+                    else:
+                        # csv says present but no .bag: treat as missing stain
+                        # (zero placeholder) rather than crashing, but say so
+                        n_missing += 1
+                        case.append(None)
                 else:
                     case.append(None)
             self.readers.append(case)
+        if n_missing:
+            print(f"* warning: {n_missing} (case, stain) bags listed in the "
+                  f"csv are missing from {bag_dir}; treated as absent stains")
 
         self._buf = np.empty(
             (batch_size * len(self.modalities), max(self.sample, 1), self.d),
