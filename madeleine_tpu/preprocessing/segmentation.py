@@ -106,6 +106,43 @@ def contours_to_mask(shape: Tuple[int, int], contours: List[np.ndarray],
     return mask
 
 
+def make_torch_deeplab_fn(checkpoint_path: Optional[str] = None,
+                          device: str = "cpu") -> Callable:
+    """Adapter: the reference's DeepLabV3-ResNet50 tissue model as a
+    TissueSegmenter ``model_fn`` (ref: segmentation.py:56-67 loads
+    torchvision's deeplabv3_resnet50 with HF-hosted MahmoodLab/hest-tissue-seg
+    weights). Requires torchvision + a locally downloaded checkpoint — both
+    gated in this image; the Otsu backend needs neither."""
+    try:
+        import torch
+        from torchvision.models.segmentation import deeplabv3_resnet50
+    except ImportError as e:
+        raise ImportError(
+            "torchvision is required for the DeepLab segmentation backend; "
+            "use backend='otsu' or pass a custom model_fn.") from e
+
+    model = deeplabv3_resnet50(num_classes=2)
+    if checkpoint_path:
+        sd = torch.load(checkpoint_path, map_location="cpu",
+                        weights_only=False)
+        sd = sd.get("state_dict", sd)
+        sd = {k.replace("model.", "", 1): v for k, v in sd.items()}
+        model.load_state_dict(sd, strict=False)
+    model.eval().to(device)
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def model_fn(tiles: np.ndarray) -> np.ndarray:
+        x = (tiles.astype(np.float32) / 255.0 - mean) / std
+        with torch.inference_mode():
+            t = torch.from_numpy(x.transpose(0, 3, 1, 2)).to(device)
+            out = model(t)["out"]                      # [n, 2, H, W]
+            return out.argmax(1).float().cpu().numpy()  # tissue = class 1
+
+    return model_fn
+
+
 # ---------------------------------------------------------------------------
 # Segmenter
 # ---------------------------------------------------------------------------

@@ -180,3 +180,23 @@ def test_full_preprocess_cli(tmp_path):
     from madeleine_tpu.data.io import load_features
 
     assert load_features(str(h5s[0])).shape[0] > 0
+
+
+def test_torch_deeplab_adapter_gated():
+    """The DeepLab adapter raises a clear ImportError when torchvision is
+    absent (it is in this image); with torchvision it returns a model_fn."""
+    from madeleine_tpu.preprocessing.segmentation import make_torch_deeplab_fn
+
+    try:
+        import torchvision  # noqa: F401
+        has_tv = True
+    except ImportError:
+        has_tv = False
+
+    if has_tv:
+        fn = make_torch_deeplab_fn()
+        out = fn(np.zeros((1, 64, 64, 3), np.uint8))
+        assert out.shape == (1, 64, 64)
+    else:
+        with pytest.raises(ImportError, match="torchvision"):
+            make_torch_deeplab_fn()
