@@ -220,6 +220,12 @@ def make_train_step(cfg: MadeleineConfig, tx: optax.GradientTransformation,
 # Epoch loop (ref: trainer.py:80-145)
 # ---------------------------------------------------------------------------
 
+def _local_shard_rows(arr) -> np.ndarray:
+    """This host's contiguous row block of a batch-sharded global array."""
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
 def train_loop(
     cfg: MadeleineConfig,
     train_step,
@@ -230,8 +236,19 @@ def train_loop(
     mesh=None,
     log_every: int = 0,
 ) -> Tuple[TrainState, float, float, Dict[str, float]]:
-    """One epoch. Returns (state, epoch_loss, train_rank, agg_metrics)."""
+    """One epoch. Returns (state, epoch_loss, train_rank, agg_metrics).
+
+    Multi-host: when jax.process_count() > 1 (and a mesh is given), each
+    host's loader yields its LOCAL row block; the blocks are assembled into
+    global batch-sharded arrays and the identical jitted step runs SPMD
+    across hosts. Epoch HE embeddings are all-gathered at the end so the
+    smooth-rank metric (and hence checkpoint gating) is global and identical
+    on every host."""
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from madeleine_tpu.parallel import multihost as mh
+
+    multihost = mesh is not None and jax.process_count() > 1
 
     # Device results are collected WITHOUT per-step host syncs — float()-ing
     # the loss every step would serialize host and device; instead async
@@ -256,17 +273,25 @@ def train_loop(
         feats_host = batch["feats"]
         if host_dtype is not None and feats_host.dtype != host_dtype:
             feats_host = feats_host.astype(host_dtype)
-        device_batch = {
-            "feats": jnp.asarray(feats_host),
-            "modality_labels": jnp.asarray(batch["modality_labels"]),
-            "sample_mask": jnp.asarray(
-                batch.get("sample_mask",
-                          np.ones(batch["feats"].shape[0], bool))),
+        host_batch = {
+            "feats": feats_host,
+            "modality_labels": batch["modality_labels"],
+            "sample_mask": batch.get(
+                "sample_mask", np.ones(batch["feats"].shape[0], bool)),
         }
-        if mesh is not None:
+        # ragged full-bag mode: the loader's validity mask MUST travel with
+        # the batch, else zero-padding gets softmax attention / GOT samples
+        if "token_mask" in batch:
+            host_batch["token_mask"] = batch["token_mask"]
+        if multihost:
+            # local row blocks -> one global batch-sharded array per leaf
+            device_batch = mh.global_batch(mesh, host_batch)
+        elif mesh is not None:
             data = NamedSharding(mesh, P("data"))
-            device_batch = {k: jax.device_put(v, data)
-                            for k, v in device_batch.items()}
+            device_batch = {k: jax.device_put(jnp.asarray(v), data)
+                            for k, v in host_batch.items()}
+        else:
+            device_batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
         state, he_embs, metrics = train_step(state, device_batch, step_rng)
         losses.append(metrics["loss"])
         skips.append(metrics["skipped"])
@@ -276,12 +301,26 @@ def train_loop(
         if log_every and (b_idx % log_every) == 0:
             print(f"Loss for batch: {b_idx} = {float(metrics['loss']):.3f}")
 
-    losses, skips, embeds_host = jax.device_get((losses, skips, embeds_dev))
+    if multihost:
+        # loss/skip are replicated (readable on every host); HE embeddings
+        # are batch-sharded globals — fetch this host's rows, then one
+        # all-gather reassembles the epoch set identically on all hosts
+        # (smooth rank is row-permutation invariant)
+        losses, skips = jax.device_get((losses, skips))
+        embeds_host = [_local_shard_rows(e) for e in embeds_dev]
+    else:
+        losses, skips, embeds_host = jax.device_get((losses, skips, embeds_dev))
     skips = np.asarray(skips, bool)
     losses = np.asarray(losses, np.float64)
     ep_loss = float(losses[~skips].sum()) if len(losses) else 0.0
-    all_embeds = [e[m] for e, m in zip(embeds_host, masks)]
-    embeds = np.concatenate(all_embeds, axis=0) if all_embeds else np.zeros((2, 2))
+    if multihost and embeds_host:
+        local = np.concatenate(embeds_host, axis=0)
+        local_mask = np.concatenate(masks, axis=0)
+        embeds = mh.allgather_rows(local)[mh.allgather_rows(local_mask)]
+    else:
+        all_embeds = [e[m] for e, m in zip(embeds_host, masks)]
+        embeds = (np.concatenate(all_embeds, axis=0) if all_embeds
+                  else np.zeros((2, 2)))
     rank = float(smooth_rank_measure(jnp.asarray(embeds)))
     agg = {
         "epoch_time": time.time() - t0,

@@ -203,3 +203,58 @@ def test_ragged_training_ignores_padding():
     assert np.all(np.isfinite(np.asarray(he)))
     for leaf in jax.tree_util.tree_leaves(new_state.params):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+class _PadPoisoner:
+    """Wrap a ragged loader, overwriting padding features with garbage.
+
+    If the real path (train_loop -> device batch -> step) forwards token_mask
+    correctly, the poison is invisible; if the mask is dropped anywhere, the
+    poisoned run diverges from the clean run."""
+
+    def __init__(self, loader, value):
+        self.loader, self.value = loader, value
+
+    def set_epoch(self, epoch):
+        self.loader.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        for batch in self.loader:
+            feats = batch["feats"].copy()
+            feats[~batch["token_mask"]] = self.value
+            yield dict(batch, feats=feats)
+
+
+def test_train_loop_ragged_end_to_end_padding_invariant(tmp_path):
+    """Drive the REAL full-bag path: SlideDataset(sample=-1) ->
+    RaggedTrainLoader -> train_loop. The loop must forward token_mask, so a
+    run with poisoned padding equals the clean run bit-for-bit."""
+    from tests.test_data import _write_cohort
+    from madeleine_tpu.data.datasets import RaggedTrainLoader, SlideDataset
+
+    csv_path, feat_dir = _write_cohort(tmp_path, n_cases=5, d=12)
+    cfg = _cfg(got_subsample=8)
+    ds = SlideDataset("TEST", csv_path, feat_dir, MODALITIES,
+                      embedding_size=12, sample=-1)
+    params = init_madeleine_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=3)
+    step = make_train_step(cfg, tx, donate=False)
+
+    results = []
+    for poison in (0.0, 1e6):
+        loader = RaggedTrainLoader(ds, batch_size=2, buckets=(256,), seed=3)
+        loader.set_epoch(0)
+        state = init_train_state(params, tx)
+        state, ep_loss, rank, agg = train_loop(
+            cfg, step, state, _PadPoisoner(loader, poison), epoch=0,
+            rng_key=jax.random.PRNGKey(11))
+        assert np.isfinite(ep_loss) and ep_loss > 0.0, ep_loss
+        results.append((ep_loss, state))
+    (loss_a, state_a), (loss_b, state_b) = results
+    np.testing.assert_array_equal(loss_a, loss_b)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
