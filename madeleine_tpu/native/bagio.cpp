@@ -95,6 +95,15 @@ class Pool {
     for (auto& t : workers_) t.join();
   }
 
+  // Grow to at least n workers (never shrinks). Taken between batches
+  // (run_mu_), so no task state races with the spawn.
+  void EnsureThreads(int n) {
+    std::unique_lock<std::mutex> run_lk(run_mu_);
+    std::unique_lock<std::mutex> lk(mu_);
+    while (static_cast<int>(workers_.size()) < n)
+      workers_.emplace_back([this] { Loop(); });
+  }
+
   void Run(const std::vector<std::function<void()>>& tasks) {
     std::unique_lock<std::mutex> run_lk(run_mu_);  // one batch at a time
     {
@@ -154,6 +163,9 @@ class Pool {
 
 Pool* GetPool(int n_threads) {
   static Pool* pool = new Pool(n_threads > 0 ? n_threads : 8);
+  // honor later callers asking for MORE threads (the pool used to latch the
+  // first caller's size forever, silently under-threading everyone after)
+  if (n_threads > 0) pool->EnsureThreads(n_threads);
   return pool;
 }
 

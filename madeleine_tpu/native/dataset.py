@@ -32,6 +32,10 @@ class NativeTrainLoader:
         n_threads: int = 8,
         pad_final: bool = True,
         seed: int = 0,
+        buffer_depth: int = 4,
+        per_case_seed: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         import pandas as pd
 
@@ -46,6 +50,20 @@ class NativeTrainLoader:
         self.n_threads = n_threads
         self.pad_final = pad_final
         self.seed = seed
+        self.epoch = 0
+        # multi-host: per-case seeding makes subsampling a pure function of
+        # (seed, epoch, case, stain) so any host loading any row block draws
+        # identical tokens; batch_size is the GLOBAL size, each host
+        # materializes its contiguous block (see parallel/multihost.py)
+        if batch_size % process_count != 0:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"process_count {process_count}")
+        if process_count > 1 and not per_case_seed and sample != -1:
+            raise ValueError("multi-host subsampled loading requires "
+                             "per_case_seed=True")
+        self.per_case_seed = per_case_seed
+        self.process_index = process_index
+        self.process_count = process_count
 
         # Open every present (case, stain) bag once; handles are mmaps, cheap.
         self.readers: List[List[Optional[BagReader]]] = []
@@ -73,9 +91,22 @@ class NativeTrainLoader:
             print(f"* warning: {n_missing} (case, stain) bags listed in the "
                   f"csv are missing from {bag_dir}; treated as absent stains")
 
-        self._buf = np.empty(
-            (batch_size * len(self.modalities), max(self.sample, 1), self.d),
-            np.float32)
+        # Ring of output buffers: batch k is assembled into ring[k % depth],
+        # so a consumer (e.g. a Prefetcher with depth <= buffer_depth - 2) can
+        # hold earlier batches without the producer overwriting them. One
+        # shared buffer silently corrupted prefetched batches.
+        self._buf_depth = max(2, buffer_depth)
+        local_bs = batch_size // process_count
+        self._bufs = [
+            np.empty((local_bs * len(self.modalities),
+                      max(self.sample, 1), self.d), np.float32)
+            for _ in range(self._buf_depth)]
+        self._buf_i = 0
+
+    def _next_buf(self) -> np.ndarray:
+        buf = self._bufs[self._buf_i]
+        self._buf_i = (self._buf_i + 1) % self._buf_depth
+        return buf
 
     def __len__(self) -> int:
         n, bs = len(self.df), self.batch_size
@@ -85,21 +116,30 @@ class NativeTrainLoader:
         """(seed, epoch)-derived RNG for deterministic resume — see
         datasets.TrainLoader.set_epoch."""
         self.rng = np.random.default_rng((self.seed, epoch))
+        self.epoch = epoch
 
-    def _indices_for(self, reader: Optional[BagReader]) -> np.ndarray:
+    def _indices_for(self, reader: Optional[BagReader],
+                     case_idx: int = -1, m_idx: int = -1) -> np.ndarray:
         t = self.sample
         if reader is None:
             return np.zeros(t, np.int64)
+        rng = (np.random.default_rng((self.seed, self.epoch, case_idx, m_idx))
+               if self.per_case_seed else self.rng)
         n = reader.n_rows
         if n < t:  # with replacement (ref: wsi_dataset.py:44-46)
-            return self.rng.integers(0, n, size=t).astype(np.int64)
-        return self.rng.permutation(n)[:t].astype(np.int64)
+            return rng.integers(0, n, size=t).astype(np.int64)
+        return rng.permutation(n)[:t].astype(np.int64)
+
+    def _local_slice(self) -> slice:
+        lbs = self.batch_size // self.process_count
+        return slice(self.process_index * lbs, (self.process_index + 1) * lbs)
 
     def __iter__(self) -> Iterator[Dict]:
         order = np.arange(len(self.df))
         if self.shuffle:
             self.rng.shuffle(order)
         bs, n_mod, t = self.batch_size, len(self.modalities), self.sample
+        loc = self._local_slice()
         for start in range(0, len(order), bs):
             sel = order[start:start + bs]
             n_valid = len(sel)
@@ -107,20 +147,23 @@ class NativeTrainLoader:
                 if not self.pad_final:
                     break
                 sel = np.concatenate([sel, np.repeat(sel[:1], bs - n_valid)])
-            readers = [self.readers[i][m] for i in sel for m in range(n_mod)]
-            indices = np.stack([self._indices_for(r) for r in readers])
+            mask_g = np.arange(bs) < n_valid
+            sel_l, mask_l = sel[loc], mask_g[loc]
+            lbs = len(sel_l)
+            readers = [self.readers[i][m] for i in sel_l for m in range(n_mod)]
+            indices = np.stack([
+                self._indices_for(self.readers[i][m], int(i), m)
+                for i in sel_l for m in range(n_mod)])
             feats = assemble_batch(readers, indices, self.d,
-                                   n_threads=self.n_threads, out=self._buf)
-            labels = self.labels[sel].copy()
-            sample_mask = np.ones(bs, bool)
-            if n_valid < bs:
-                labels[n_valid:] = 0.0
-                sample_mask[n_valid:] = False
+                                   n_threads=self.n_threads,
+                                   out=self._next_buf())
+            labels = self.labels[sel_l].copy()
+            labels[~mask_l] = 0.0
             yield {
-                "feats": feats.reshape(bs, n_mod, t, self.d),
+                "feats": feats.reshape(lbs, n_mod, t, self.d),
                 "modality_labels": labels,
-                "sample_mask": sample_mask,
-                "slide_ids": [str(self.df.iloc[i]["slide_id"]) for i in sel],
+                "sample_mask": mask_l,
+                "slide_ids": [str(self.df.iloc[i]["slide_id"]) for i in sel_l],
             }
 
     def close(self) -> None:
@@ -143,7 +186,7 @@ class NativeRaggedLoader(NativeTrainLoader):
         super().__init__(*args, **kw)
         self.buckets = sorted(buckets)
         self.max_tokens = max_tokens or self.buckets[-1]
-        self._buf = None  # bucket-sized buffers allocated lazily
+        self._bufs = []  # ragged batches allocate per call (bucket-sized)
 
     def _bucket_of(self, n: int) -> int:
         for b in self.buckets:
@@ -156,6 +199,7 @@ class NativeRaggedLoader(NativeTrainLoader):
         if self.shuffle:
             self.rng.shuffle(order)
         bs, n_mod = self.batch_size, len(self.modalities)
+        loc = self._local_slice()
         for start in range(0, len(order), bs):
             sel = order[start:start + bs]
             n_valid = len(sel)
@@ -163,27 +207,31 @@ class NativeRaggedLoader(NativeTrainLoader):
                 if not self.pad_final:
                     break
                 sel = np.concatenate([sel, np.repeat(sel[:1], bs - n_valid)])
-            readers = [self.readers[i][m] for i in sel for m in range(n_mod)]
+            # bucket from GLOBAL batch lengths (mmap headers, no row IO) so
+            # every host pads to the same shape
+            glob_lengths = [0 if r is None else min(r.n_rows, self.max_tokens)
+                            for i in sel for r in self.readers[i]]
+            t = self._bucket_of(max(glob_lengths) if glob_lengths else 1)
+            mask_g = np.arange(bs) < n_valid
+            sel_l, mask_l = sel[loc], mask_g[loc]
+            lbs = len(sel_l)
+            readers = [self.readers[i][m] for i in sel_l for m in range(n_mod)]
             lengths = np.asarray(
                 [0 if r is None else min(r.n_rows, self.max_tokens)
                  for r in readers], np.int64)
-            t = self._bucket_of(int(lengths.max()) if lengths.size else 1)
             idx = np.broadcast_to(np.arange(t, dtype=np.int64),
                                   (len(readers), t))
             feats = assemble_batch(readers, np.ascontiguousarray(idx), self.d,
                                    n_threads=self.n_threads)
             token_mask = (np.arange(t)[None, :]
-                          < lengths[:, None]).reshape(bs, n_mod, t)
-            labels = self.labels[sel].copy()
-            sample_mask = np.ones(bs, bool)
-            if n_valid < bs:
-                labels[n_valid:] = 0.0
-                sample_mask[n_valid:] = False
+                          < lengths[:, None]).reshape(lbs, n_mod, t)
+            labels = self.labels[sel_l].copy()
+            labels[~mask_l] = 0.0
             yield {
-                "feats": feats.reshape(bs, n_mod, t, self.d),
+                "feats": feats.reshape(lbs, n_mod, t, self.d),
                 "modality_labels": labels,
                 "token_mask": token_mask,
-                "sample_mask": sample_mask,
+                "sample_mask": mask_l,
                 "slide_ids": [str(self.df.iloc[i]["slide_id"])
-                              for i in sel[:n_valid]],
+                              for i, v in zip(sel_l, mask_l) if v],
             }

@@ -147,6 +147,53 @@ def test_native_train_loader_matches_python(tmp_path, native_lib):
     nat_loader.close()
 
 
+def test_native_loader_batches_survive_prefetch(tmp_path, native_lib):
+    """Regression: the loader used one shared output buffer, so holding a
+    batch while later ones were produced (exactly what Prefetcher does)
+    silently replaced its features. Batches must stay valid while at least
+    buffer_depth - 1 newer batches are produced."""
+    from madeleine_tpu.data.datasets import Prefetcher
+    from madeleine_tpu.native.dataset import NativeTrainLoader
+
+    rng = np.random.default_rng(11)
+    mods = ["HE", "X"]
+    rows = []
+    for i in range(12):
+        sid = f"c{i}"
+        for m in mods:
+            bagio.write_bag_file(
+                str(tmp_path / f"{sid}_{m}.bag"),
+                rng.standard_normal((30, 8)).astype(np.float32))
+        rows.append({"slide_id": sid, "HE": 1, "X": 1, "split": "train"})
+    csv = str(tmp_path / "c.csv")
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    def make():
+        return NativeTrainLoader(csv, str(tmp_path), mods, 8, 16,
+                                 batch_size=2, shuffle=False,
+                                 rng=np.random.default_rng(0), seed=0)
+
+    expected = [b["feats"].copy() for b in make()]
+    assert len(expected) == 6
+
+    # deterministic: a yielded batch must survive buffer_depth - 1 further
+    # productions (Prefetcher depth 2 keeps <= 3 batches in flight past it)
+    loader = make()
+    it = iter(loader)
+    b0 = next(it)["feats"]
+    e0 = b0.copy()
+    for _ in range(loader._buf_depth - 1):
+        next(it)
+    np.testing.assert_array_equal(
+        b0, e0, err_msg="yielded batch was overwritten by later assembly")
+
+    # the real consumer path: batches read through a Prefetcher match
+    for k, b in enumerate(Prefetcher(make(), depth=2)):
+        np.testing.assert_array_equal(
+            b["feats"], expected[k],
+            err_msg=f"prefetched batch {k} corrupted")
+
+
 def test_io_layer_reads_bag_files(tmp_path, native_lib):
     """data.io load_features/load_coords/bag_length/list_bags handle .bag,
     dedup against sibling .h5 of the same slide."""
