@@ -127,8 +127,11 @@ class MadeleineConfig:
 
     @property
     def embed_dim(self) -> int:
-        """Final slide-embedding dimension (projector output)."""
-        return self.attention_hidden_dim
+        """Final slide-embedding dimension — the projector's output width
+        (Linear(hidden * n_heads -> hidden), ref: Model.py:87-94). This is
+        `wsi_encoder_hidden_dim`, NOT `attention_hidden_dim`; the two only
+        coincide at the default 512."""
+        return self.wsi_encoder_hidden_dim
 
     # ------------------------------------------------------------------
     @classmethod
@@ -160,6 +163,13 @@ class MadeleineConfig:
     def save(self, path: str) -> None:
         with open(path, "w") as f:
             json.dump(self.to_dict(), f, indent=4)
+
+
+def config_cache_key(cfg: MadeleineConfig) -> str:
+    """Canonical content key for caching compiled executables per config —
+    two configs with equal fields map to the same executable (hashing by
+    object identity re-traced on every fresh config object)."""
+    return json.dumps(cfg.to_dict(), sort_keys=True, default=str)
 
 
 def compute_dtype(precision: str):

@@ -62,7 +62,12 @@ class EmbeddingService:
         self.dtype = compute_dtype(cfg.precision)
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
-        self._latencies: List[float] = []
+        # bounded ring + lock: stats are read/written from many HTTP threads
+        # and the dispatcher; an unbounded list leaks in a long-lived server
+        from collections import deque
+
+        self._latencies: "deque[float]" = deque(maxlen=1000)
+        self._stats_lock = threading.Lock()
         self.counters = {"requests": 0, "batches": 0, "slides": 0}
 
         from madeleine_tpu.models import madeleine as mtm
@@ -76,10 +81,22 @@ class EmbeddingService:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def warmup(self, batch_sizes=(1, 8), verbose: bool = True) -> None:
+    def warmup(self, batch_sizes=None, verbose: bool = True) -> None:
         """Pre-compile (bucket x batch) executables so first requests don't
-        pay multi-second XLA compiles. Call before accepting traffic."""
+        pay multi-second XLA compiles. Call before accepting traffic.
+
+        The dispatcher pads batches to powers of two up to max_batch, so by
+        default EVERY shape it can emit is compiled here — otherwise the
+        first request landing on an unwarmed power of two still pays a
+        multi-second compile despite the warmup contract."""
         import jax.numpy as jnp
+
+        if batch_sizes is None:
+            batch_sizes, bs_ = [], 1
+            while bs_ < self.max_batch:
+                batch_sizes.append(bs_)
+                bs_ <<= 1
+            batch_sizes.append(bs_)  # pow2 ceiling of max_batch
 
         d = self.cfg.patch_embedding_dim
         for bucket in self.buckets:
@@ -100,7 +117,8 @@ class EmbeddingService:
                 f"feature dim {feats.shape[1]} != model input dim "
                 f"{self.cfg.patch_embedding_dim}")
         p = _Pending(np.asarray(feats, np.float32))
-        self.counters["requests"] += 1
+        with self._stats_lock:
+            self.counters["requests"] += 1
         self._q.put(p)
         if not p.event.wait(timeout):
             raise TimeoutError("encode timed out")
@@ -152,21 +170,25 @@ class EmbeddingService:
                         jnp.asarray(feats, self.dtype),
                         jnp.asarray(mask)).astype(jnp.float32))
                     now = time.perf_counter()
+                    with self._stats_lock:
+                        for p in items:
+                            self._latencies.append(now - p.t_enqueue)
+                        self.counters["batches"] += 1
+                        self.counters["slides"] += len(items)
                     for i, p in enumerate(items):
                         p.result = emb[i]
-                        self._latencies.append(now - p.t_enqueue)
                         p.event.set()
-                    self.counters["batches"] += 1
-                    self.counters["slides"] += len(items)
                 except Exception as e:  # propagate to every waiter
                     for p in items:
                         p.error = f"{type(e).__name__}: {e}"
                         p.event.set()
 
     def stats(self) -> Dict:
-        lat = np.asarray(self._latencies[-1000:] or [0.0])
+        with self._stats_lock:
+            lat = np.asarray(self._latencies or [0.0])
+            counters = dict(self.counters)
         return {
-            **self.counters,
+            **counters,
             "latency_p50_ms": float(np.percentile(lat, 50) * 1e3),
             "latency_p95_ms": float(np.percentile(lat, 95) * 1e3),
             "embed_dim": self.cfg.embed_dim,

@@ -27,40 +27,59 @@ def _ckptr() -> ocp.PyTreeCheckpointer:
 
 def save_train_state(directory: str, state: Dict[str, Any],
                      metadata: Optional[Dict[str, Any]] = None) -> None:
-    """state: pytree of arrays (params, opt_state, ...); metadata: small json."""
+    """state: pytree of arrays (params, opt_state, ...); metadata: small json.
+
+    Crash-safe: the new checkpoint is fully written to a sibling temp dir
+    before any rename, so a crash mid-save never leaves a partial checkpoint
+    at the primary path — the worst case is an intact previous checkpoint at
+    either `directory` or `directory + ".old"` (restore checks both)."""
+    import shutil
+
     directory = os.path.abspath(directory)
-    if os.path.exists(directory):
-        # orbax refuses to overwrite; atomic-replace via temp dir
-        import shutil
-        tmp = directory + ".old"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        os.rename(directory, tmp)
-        try:
-            _ckptr().save(directory, state)
-        except Exception:
-            os.rename(tmp, directory)
-            raise
+    tmp, old = directory + ".tmp", directory + ".old"
+    if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    else:
-        _ckptr().save(directory, state)
+    _ckptr().save(tmp, state)          # complete new checkpoint, off to the side
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(directory):
+        os.rename(directory, old)      # previous checkpoint stays restorable
+    os.rename(tmp, directory)          # atomic swap-in (same filesystem)
     if metadata is not None:
-        with open(directory + ".meta.json", "w") as f:
+        meta_tmp = directory + ".meta.json.tmp"
+        with open(meta_tmp, "w") as f:
             json.dump(metadata, f, indent=2)
+        os.replace(meta_tmp, directory + ".meta.json")
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def restore_train_state(directory: str,
                         abstract_state: Optional[Dict[str, Any]] = None
                         ) -> Dict[str, Any]:
     directory = os.path.abspath(directory)
+    abstract = None
     if abstract_state is not None:
         abstract = jax.tree.map(
             lambda x: ocp.utils.to_shape_dtype_struct(x)
             if hasattr(x, "shape") else x,
             abstract_state,
         )
-        return _ckptr().restore(directory, item=abstract)
-    return _ckptr().restore(directory)
+
+    def _restore(path):
+        if abstract is not None:
+            return _ckptr().restore(path, item=abstract)
+        return _ckptr().restore(path)
+
+    try:
+        return _restore(directory)
+    except Exception:
+        # a crash mid-save can leave the previous (intact) checkpoint parked
+        # at .old — fall back to it rather than failing the resume
+        old = directory + ".old"
+        if os.path.isdir(old):
+            return _restore(old)
+        raise
 
 
 def load_metadata(directory: str) -> Optional[Dict[str, Any]]:
