@@ -54,16 +54,21 @@ def _encode_sharded(params, feats, mask, *, cfg: "HashableCfg",
 
 
 class HashableCfg:
-    """Static-arg wrapper: configs hash by identity so jit caches per config."""
+    """Static-arg wrapper: configs hash by CONTENT, so repeated calls with
+    equal (even freshly constructed) configs hit the same jit executable —
+    identity hashing re-traced every `run_inference` call."""
 
     def __init__(self, cfg: MadeleineConfig):
+        from madeleine_tpu.config import config_cache_key
+
         self.cfg = cfg
+        self._key = config_cache_key(cfg)
 
     def __hash__(self):
-        return id(self.cfg)
+        return hash(self._key)
 
     def __eq__(self, other):
-        return isinstance(other, HashableCfg) and other.cfg is self.cfg
+        return isinstance(other, HashableCfg) and other._key == self._key
 
 
 def run_inference(
@@ -82,8 +87,11 @@ def run_inference(
     divide any power-of-two mesh)."""
     dtype = dtype or compute_dtype(cfg.precision)
     hcfg = HashableCfg(cfg)
-    all_embeds, all_ids = [], []
+    pending, all_ids = [], []
     n_done, t0 = 0, time.time()
+    # dispatch the whole stream asynchronously — fetching each batch's
+    # embeddings immediately would serialize host->device transfers with
+    # compute; embeddings are tiny, so holding them on device is free
     for batch in Prefetcher(loader):
         feats = jnp.asarray(batch["feats"], dtype)
         mask = jnp.asarray(batch["mask"])
@@ -93,11 +101,11 @@ def run_inference(
         else:
             emb = _encode_jit(params, feats, mask, cfg=hcfg,
                               stain_idx=stain_idx)
-        emb = np.asarray(emb.astype(jnp.float32))
         n_valid = batch.get("n_valid", len(batch["slide_ids"]))
-        all_embeds.append(emb[:n_valid])
+        pending.append((emb.astype(jnp.float32), n_valid))
         all_ids.extend(batch["slide_ids"])
         n_done += n_valid
+    all_embeds = [np.asarray(emb)[:n_valid] for emb, n_valid in pending]
     elapsed = time.time() - t0
     embeds = np.concatenate(all_embeds, axis=0) if all_embeds else np.zeros((0, cfg.embed_dim))
     rank = float(smooth_rank_measure(jnp.asarray(embeds))) if len(embeds) > 1 else 0.0

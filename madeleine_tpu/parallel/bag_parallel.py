@@ -100,7 +100,9 @@ def encode_bag_parallel(
     (config, mesh, stain) jit cache. Returns replicated [b, embed_dim]."""
     if mask is None:
         mask = jnp.ones(feats.shape[:2], bool)
-    key = (id(cfg), mesh, stain_idx)
+    from madeleine_tpu.config import config_cache_key
+
+    key = (config_cache_key(cfg), mesh, stain_idx)
     if key not in _ENCODER_CACHE:
         _ENCODER_CACHE[key] = make_bag_parallel_encoder(cfg, mesh, stain_idx)
     return _ENCODER_CACHE[key](params, feats, mask)

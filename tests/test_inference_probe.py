@@ -54,6 +54,37 @@ def test_run_inference_matches_direct_encode(tmp_path):
                                    err_msg=f"slide {sid}")
 
 
+def test_repeated_inference_zero_recompiles(tmp_path):
+    """A second run_inference with an EQUAL (freshly constructed) config must
+    reuse every compiled executable — configs are cache-keyed by content, not
+    object identity (identity keying re-traced per call)."""
+    from madeleine_tpu.eval.inference import _encode_jit
+
+    rng = np.random.default_rng(4)
+    d = 16
+    bag_dir = tmp_path / "patch_embeddings"
+    bag_dir.mkdir()
+    for i, n in enumerate([40, 80]):
+        write_bag(str(bag_dir / f"s{i}.h5"),
+                  rng.standard_normal((n, d)).astype(np.float32))
+
+    params = init_madeleine_params(jax.random.PRNGKey(0), _tiny_cfg(d))
+
+    def run():
+        loader = get_downstream_loader(str(tmp_path), buckets=(64, 128),
+                                       tokens_per_batch=512)
+        # fresh config object each call, equal content
+        return run_inference(params, _tiny_cfg(d), loader, verbose=False)
+
+    res1, _ = run()
+    n_compiled = _encode_jit._cache_size()
+    res2, _ = run()
+    assert _encode_jit._cache_size() == n_compiled, "second call re-traced"
+    order = np.argsort(res1["slide_ids"]), np.argsort(res2["slide_ids"])
+    np.testing.assert_allclose(res1["embeds"][order[0]],
+                               res2["embeds"][order[1]], rtol=1e-6)
+
+
 def test_linear_probe_separable(tmp_path):
     """Probing protocol recovers a linearly separable synthetic task."""
     rng = np.random.default_rng(1)
