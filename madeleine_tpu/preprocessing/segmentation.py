@@ -106,6 +106,36 @@ def contours_to_mask(shape: Tuple[int, int], contours: List[np.ndarray],
     return mask
 
 
+def contours_to_geojson(contours: List[np.ndarray],
+                        holes: Optional[List[List[np.ndarray]]] = None,
+                        scale: float = 1.0) -> dict:
+    """Contours (+holes) -> a GeoJSON FeatureCollection dict matching the
+    reference's geopandas export: one Polygon Feature per tissue contour with
+    a ``tissue_id`` property, hole rings as interior rings
+    (ref: segmentation.py:142-147 gdf.to_file(..., driver="GeoJSON") of
+    mask_to_gdf's GeoDataFrame, segmentation.py:324-374). Plain json — no
+    geopandas/shapely needed. `scale` maps mask coords -> slide coords."""
+
+    def ring(points: np.ndarray) -> List[List[float]]:
+        pts = np.asarray(points, np.float64) * scale
+        closed = pts.tolist()
+        if closed and closed[0] != closed[-1]:   # GeoJSON rings are closed
+            closed.append(closed[0])
+        return closed
+
+    features = []
+    for i, cont in enumerate(contours):
+        rings = [ring(cont)]
+        if holes and i < len(holes):
+            rings.extend(ring(hc) for hc in holes[i])
+        features.append({
+            "type": "Feature",
+            "properties": {"tissue_id": i},
+            "geometry": {"type": "Polygon", "coordinates": rings},
+        })
+    return {"type": "FeatureCollection", "features": features}
+
+
 def make_torch_deeplab_fn(checkpoint_path: Optional[str] = None,
                           device: str = "cpu") -> Callable:
     """Adapter: the reference's DeepLabV3-ResNet50 tissue model as a
@@ -250,11 +280,20 @@ class TissueSegmenter:
 
     def _save_artifacts(self, wsi, mask, contours, holes, save_bn: str) -> None:
         import cv2
+        import json
 
         vis_dir = os.path.join(self.save_path, "segmentation_vis")
         pkl_dir = os.path.join(self.save_path, "segmentation_pkl")
+        geo_dir = os.path.join(self.save_path, "geojson")
         os.makedirs(vis_dir, exist_ok=True)
         os.makedirs(pkl_dir, exist_ok=True)
+        os.makedirs(geo_dir, exist_ok=True)
+        # GeoJSON contour export in slide (level-0) coordinates — the
+        # published artifact downstream tools consume (ref: segmentation.py:146)
+        geo_scale = wsi.dimensions[0] / mask.shape[1]
+        with open(os.path.join(geo_dir, f"{save_bn}_tissue_mask.geojson"),
+                  "w") as f:
+            json.dump(contours_to_geojson(contours, holes, scale=geo_scale), f)
         w, h = wsi.dimensions
         tw = 1000
         thumb = wsi.get_thumbnail(tw, int(h * tw / w)).copy()

@@ -112,6 +112,26 @@ def test_otsu_segmentation_finds_blobs(tmp_path):
     assert os.path.exists(str(tmp_path / "segmentation_vis" / "s1.jpg"))
     assert os.path.exists(str(tmp_path / "segmentation_pkl" / "s1.pkl"))
 
+    # GeoJSON artifact (ref: geojson/<bn>_tissue_mask.geojson): valid
+    # FeatureCollection of closed Polygons in slide coords
+    import json
+
+    geo_path = str(tmp_path / "geojson" / "s1_tissue_mask.geojson")
+    assert os.path.exists(geo_path)
+    with open(geo_path) as f:
+        geo = json.load(f)
+    assert geo["type"] == "FeatureCollection"
+    assert len(geo["features"]) == 2
+    w, h = img.shape[1], img.shape[0]
+    for feat in geo["features"]:
+        assert feat["geometry"]["type"] == "Polygon"
+        assert "tissue_id" in feat["properties"]
+        for ring in feat["geometry"]["coordinates"]:
+            assert ring[0] == ring[-1], "GeoJSON rings must be closed"
+            xs, ys = zip(*ring)
+            assert 0 <= min(xs) and max(xs) <= w + 1
+            assert 0 <= min(ys) and max(ys) <= h + 1
+
 
 def test_model_backend_segmentation():
     img, tissue = _synthetic_slide()
