@@ -21,6 +21,10 @@ from madeleine_tpu.utils.platform import apply_platform_env
 
 apply_platform_env()
 
+from madeleine_tpu.parallel import multihost as mh
+
+mh.initialize_from_env()  # no-op unless the env asks for multi-host
+
 import jax
 import numpy as np
 
@@ -56,6 +60,8 @@ def main() -> None:
                            tags=[cfg.cohort])
 
     # ---- data -----------------------------------------------------------
+    pi, pc = jax.process_index(), jax.process_count()
+    mh_kw = dict(process_index=pi, process_count=pc) if pc > 1 else {}
     native = extras.get("native_loader", "auto")
     if native == "auto":
         import glob
@@ -68,7 +74,8 @@ def main() -> None:
             loader = NativeRaggedLoader(
                 cfg.csv_fpath, cfg.data_root_dir, cfg.MODALITIES,
                 embedding_size=cfg.patch_embedding_dim,
-                batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed)
+                batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed,
+                **mh_kw)
             print("* Native .bag loader, full-bag (ragged) batches")
         else:
             from madeleine_tpu.native.dataset import NativeTrainLoader
@@ -76,7 +83,8 @@ def main() -> None:
             loader = NativeTrainLoader(
                 cfg.csv_fpath, cfg.data_root_dir, cfg.MODALITIES,
                 embedding_size=cfg.patch_embedding_dim, sample=cfg.n_subsamples,
-                batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed)
+                batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed,
+                per_case_seed=pc > 1, **mh_kw)
             print("* Native .bag loader (C++ threaded assembler)")
         n_cases = len(loader.df)
     else:
@@ -88,17 +96,18 @@ def main() -> None:
             modalities=cfg.MODALITIES,
             embedding_size=cfg.patch_embedding_dim,
             rng=np.random.default_rng(cfg.seed),
+            per_case_seed=pc > 1, seed=cfg.seed,
         )
         if cfg.n_subsamples == -1:
             from madeleine_tpu.data.datasets import RaggedTrainLoader
 
             loader = RaggedTrainLoader(dataset, cfg.batch_size, shuffle=True,
-                                       seed=cfg.seed)
+                                       seed=cfg.seed, **mh_kw)
             print("* Full-bag (ragged) training: padded length buckets + "
                   "token masks")
         else:
             loader = TrainLoader(dataset, cfg.batch_size, shuffle=True,
-                                 seed=cfg.seed)
+                                 seed=cfg.seed, **mh_kw)
         n_cases = len(dataset)
     steps_per_epoch = len(loader)
     print(f"* {n_cases} cases, {steps_per_epoch} steps/epoch")
@@ -107,7 +116,8 @@ def main() -> None:
     n_dev = cfg.mesh_shape or len(jax.devices())
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     if mesh is not None:
-        print(f"* Data-parallel mesh over {n_dev} devices")
+        print(f"* Data-parallel mesh over {n_dev} devices"
+              + (f" across {pc} hosts" if pc > 1 else ""))
 
     params = init_madeleine_params(jax.random.PRNGKey(cfg.seed), cfg)
     print(f"* Model parameters: {param_count(params):,}")
@@ -155,16 +165,25 @@ def main() -> None:
                    step=epoch)
 
         improved = epoch > MIN_CHECKPOINT_EPOCH and train_rank > best_rank
-        if improved:
+        # multi-host: rank/loss are identical on every host (global metrics),
+        # so the gating is consistent; only the primary touches the filesystem.
+        # Replicated arrays are host-local readable -> materialize to numpy
+        # before a primary-only orbax save.
+        if improved and mh.is_primary():
             print(f"Better rank: {best_rank} --> {train_rank}. Saving model")
-            best_rank = train_rank
             ckpt.save_best_torch(cfg.RESULTS_SAVE_PATH, state.params, cfg)
-        if improved or (cfg.checkpoint_every and
-                        (epoch + 1) % cfg.checkpoint_every == 0):
+        if improved:
+            best_rank = train_rank
+        if (improved or (cfg.checkpoint_every and
+                         (epoch + 1) % cfg.checkpoint_every == 0)) \
+                and mh.is_primary():
+            to_host = (lambda t: jax.tree.map(np.asarray, t)) if pc > 1 \
+                else (lambda t: t)
             ckpt.save_train_state(
                 state_dir,
-                {"params": state.params, "opt_state": state.opt_state,
-                 "step": state.step},
+                {"params": to_host(state.params),
+                 "opt_state": to_host(state.opt_state),
+                 "step": to_host(state.step)},
                 metadata={"epoch": epoch, "best_rank": best_rank,
                           "train_rank": train_rank, "loss": float(ep_loss)})
 
@@ -174,7 +193,7 @@ def main() -> None:
 
     # final save if rank-gating never fired (short runs)
     model_pt = os.path.join(cfg.RESULTS_SAVE_PATH, "model.pt")
-    if not os.path.exists(model_pt):
+    if not os.path.exists(model_pt) and mh.is_primary():
         ckpt.save_best_torch(cfg.RESULTS_SAVE_PATH, state.params, cfg)
 
     # ---- downstream slide extraction -----------------------------------

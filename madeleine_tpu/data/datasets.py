@@ -48,6 +48,8 @@ class SlideDataset:
         sample: int = -1,
         train: bool = True,
         rng: Optional[np.random.Generator] = None,
+        per_case_seed: bool = False,
+        seed: int = 0,
     ):
         import pandas as pd
 
@@ -58,22 +60,48 @@ class SlideDataset:
         self.sample = sample
         self.train = train
         self.embedding_size = embedding_size
-        self.rng = rng or np.random.default_rng(0)
+        self.rng = rng or np.random.default_rng(seed)
+        # per-case seeding makes each case's subsample a pure function of
+        # (seed, epoch, case, stain) — identical regardless of which host
+        # loads which rows (required for host-count-invariant training)
+        self.per_case_seed = per_case_seed
+        self.seed = seed
+        self.epoch = 0
 
     def __len__(self) -> int:
         return len(self.dataframe)
 
-    def sample_n(self, feats: np.ndarray) -> np.ndarray:
+    def sample_n(self, feats: np.ndarray,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
         """Fixed-size token subsample; with replacement when the bag is short
         (ref: wsi_dataset.py:42-50)."""
+        rng = rng if rng is not None else self.rng
         if self.sample > -1:
             n = feats.shape[0]
             if n < self.sample:
-                idx = self.rng.integers(0, n, size=self.sample)
+                idx = rng.integers(0, n, size=self.sample)
             else:
-                idx = self.rng.permutation(n)[: self.sample]
+                idx = rng.permutation(n)[: self.sample]
             feats = feats[idx]
         return feats
+
+    def _bag_path(self, row, modality: str) -> str:
+        split_type = row.get("split", "train")
+        special_id = "" if split_type == "train" else f"_{split_type}"
+        path = os.path.join(self.features_path,
+                            f"{row['slide_id']}_{modality}{special_id}.h5")
+        if not os.path.exists(path) and os.path.exists(path[:-3] + ".npz"):
+            path = path[:-3] + ".npz"
+        return path
+
+    def bag_length_of(self, index: int, modality: str) -> int:
+        """Token count of one (case, stain) bag via a header read — lets a
+        multi-host ragged loader agree on the global length bucket without
+        loading remote rows. 0 when the stain is absent."""
+        row = self.dataframe.iloc[index]
+        if int(row[modality]) != 1:
+            return 0
+        return bag_length(self._bag_path(row, modality))
 
     def __getitem__(self, index: int) -> Dict:
         row = self.dataframe.iloc[index]
@@ -81,21 +109,19 @@ class SlideDataset:
         modality_labels = [int(row[m]) for m in self.modalities]
 
         if self.train:
-            split_type = row["split"]
-            special_id = "" if split_type == "train" else f"_{split_type}"
             all_feats = []
-            for modality, label in zip(self.modalities, modality_labels):
+            for m_idx, (modality, label) in enumerate(
+                    zip(self.modalities, modality_labels)):
                 if label == 1:
-                    path = os.path.join(
-                        self.features_path, f"{slide_id}_{modality}{special_id}.h5")
-                    if not os.path.exists(path) and os.path.exists(path[:-3] + ".npz"):
-                        path = path[:-3] + ".npz"
-                    feats = load_features(path)
+                    feats = load_features(self._bag_path(row, modality))
                 else:
                     # zero placeholder, masked out by modality label downstream
                     # (ref: wsi_dataset.py:66)
                     feats = np.zeros((2, self.embedding_size), np.float32)
-                all_feats.append(self.sample_n(feats))
+                rng = (np.random.default_rng(
+                           (self.seed, self.epoch, index, m_idx))
+                       if self.per_case_seed else None)
+                all_feats.append(self.sample_n(feats, rng))
         else:
             path = os.path.join(self.features_path, f"{slide_id}.h5")
             all_feats = [load_features(path)]
@@ -127,13 +153,25 @@ class TrainLoader:
 
     def __init__(self, dataset: SlideDataset, batch_size: int,
                  shuffle: bool = True, rng: Optional[np.random.Generator] = None,
-                 pad_final: bool = True, seed: int = 0):
+                 pad_final: bool = True, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size    # GLOBAL batch size
         self.shuffle = shuffle
         self.rng = rng or np.random.default_rng(seed)
         self.pad_final = pad_final
         self.seed = seed
+        # multi-host: every host computes the same (seed, epoch) shuffle and
+        # materializes only its contiguous row block of each global batch
+        if batch_size % process_count != 0:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"process_count {process_count}")
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1 and not getattr(dataset, "per_case_seed", True):
+            raise ValueError(
+                "multi-host loading needs SlideDataset(per_case_seed=True) "
+                "so subsampling is host-count invariant")
 
     def set_epoch(self, epoch: int) -> None:
         """Derive the epoch's RNG from (seed, epoch) so a resumed run replays
@@ -142,32 +180,36 @@ class TrainLoader:
         self.rng = np.random.default_rng((self.seed, epoch))
         if hasattr(self.dataset, "rng"):
             self.dataset.rng = np.random.default_rng((self.seed, epoch, 1))
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch = epoch
 
     def __len__(self) -> int:
         n = len(self.dataset)
         bs = self.batch_size
         return (n + bs - 1) // bs if self.pad_final else n // bs
 
+    def _local_slice(self) -> slice:
+        lbs = self.batch_size // self.process_count
+        return slice(self.process_index * lbs, (self.process_index + 1) * lbs)
+
     def __iter__(self) -> Iterator[Dict]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
         bs = self.batch_size
+        loc = self._local_slice()
         for start in range(0, len(order), bs):
             idx = order[start:start + bs]
-            if len(idx) < bs:
+            n_valid = len(idx)
+            if n_valid < bs:
                 if not self.pad_final:
                     break
-                pad = idx[np.zeros(bs - len(idx), np.int64)]
-                batch = [self.dataset[i] for i in idx] + [
-                    self.dataset[i] for i in pad]
-                out = collate(batch)
-                out["modality_labels"][len(idx):] = 0.0  # mask padded rows
-                out["sample_mask"] = np.concatenate(
-                    [np.ones(len(idx), bool), np.zeros(bs - len(idx), bool)])
-            else:
-                out = collate([self.dataset[i] for i in idx])
-                out["sample_mask"] = np.ones(bs, bool)
+                idx = np.concatenate([idx, idx[np.zeros(bs - n_valid, np.int64)]])
+            sample_mask = np.arange(bs) < n_valid
+            idx_l, mask_l = idx[loc], sample_mask[loc]
+            out = collate([self.dataset[i] for i in idx_l])
+            out["modality_labels"][~mask_l] = 0.0  # mask padded rows
+            out["sample_mask"] = mask_l
             yield out
 
 
@@ -184,19 +226,27 @@ class RaggedTrainLoader:
     def __init__(self, dataset: SlideDataset, batch_size: int,
                  buckets: Sequence[int] = (1024, 2048, 4096, 8192, 16384),
                  shuffle: bool = True, seed: int = 0,
-                 max_tokens: Optional[int] = None):
+                 max_tokens: Optional[int] = None,
+                 process_index: int = 0, process_count: int = 1):
         if dataset.sample != -1:
             raise ValueError("RaggedTrainLoader expects sample=-1 datasets")
+        if batch_size % process_count != 0:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"process_count {process_count}")
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size    # GLOBAL batch size
         self.buckets = sorted(buckets)
         self.shuffle = shuffle
         self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.max_tokens = max_tokens or self.buckets[-1]
+        self.process_index = process_index
+        self.process_count = process_count
 
     def set_epoch(self, epoch: int) -> None:
         self.rng = np.random.default_rng((self.seed, epoch))
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch = epoch
 
     def __len__(self) -> int:
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
@@ -207,40 +257,56 @@ class RaggedTrainLoader:
                 return b
         return self.buckets[-1]
 
+    def _global_bucket(self, idx: np.ndarray) -> int:
+        """Length bucket of the GLOBAL batch via header reads only — all
+        hosts agree on the padded shape without loading remote rows."""
+        longest = 1
+        for i in idx:
+            for m in self.dataset.modalities:
+                longest = max(longest, self.dataset.bag_length_of(int(i), m))
+        return self._bucket_of(min(longest, self.max_tokens))
+
     def __iter__(self) -> Iterator[Dict]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
         bs = self.batch_size
+        lbs = bs // self.process_count
+        loc = slice(self.process_index * lbs, (self.process_index + 1) * lbs)
         for start in range(0, len(order), bs):
             idx = order[start:start + bs]
-            items = [self.dataset[i] for i in idx]
-            n_valid = len(items)
-            while len(items) < bs:            # final-batch padding
-                items.append(items[0])
-            longest = max(f.shape[0] for it in items for f in it["feats"])
-            t = self._bucket_of(min(longest, self.max_tokens))
+            n_valid = len(idx)
+            if n_valid < bs:                 # final-batch padding
+                idx = np.concatenate([idx, np.repeat(idx[:1], bs - n_valid)])
+            if self.process_count > 1:
+                t = self._global_bucket(idx)
+            else:
+                t = None                     # computed from loaded rows below
+            sample_mask_g = np.arange(bs) < n_valid
+            idx_l, mask_l = idx[loc], sample_mask_g[loc]
+            items = [self.dataset[i] for i in idx_l]
+            if t is None:
+                longest = max(f.shape[0] for it in items for f in it["feats"])
+                t = self._bucket_of(min(longest, self.max_tokens))
             n_mod = len(items[0]["feats"])
             d = items[0]["feats"][0].shape[1]
-            feats = np.zeros((bs, n_mod, t, d), np.float32)
-            token_mask = np.zeros((bs, n_mod, t), bool)
-            labels = np.zeros((bs, n_mod), np.float32)
+            feats = np.zeros((len(items), n_mod, t, d), np.float32)
+            token_mask = np.zeros((len(items), n_mod, t), bool)
+            labels = np.zeros((len(items), n_mod), np.float32)
             for b, item in enumerate(items):
                 for m, f in enumerate(item["feats"]):
                     n = min(f.shape[0], t)
                     feats[b, m, :n] = f[:n]
                     token_mask[b, m, :n] = True
                 labels[b] = np.asarray(item["modality_labels"], np.float32)
-            sample_mask = np.ones(bs, bool)
-            if n_valid < bs:
-                labels[n_valid:] = 0.0
-                sample_mask[n_valid:] = False
+            labels[~mask_l] = 0.0
             yield {
                 "feats": feats,
                 "modality_labels": labels,
                 "token_mask": token_mask,
-                "sample_mask": sample_mask,
-                "slide_ids": [it["slide_id"] for it in items[:n_valid]],
+                "sample_mask": mask_l,
+                "slide_ids": [it["slide_id"]
+                              for it, v in zip(items, mask_l) if v],
             }
 
 
@@ -318,30 +384,28 @@ class BucketedBagLoader:
             bs = self._pow2_floor(bs)
             for start in range(0, len(fns), bs):
                 chunk = fns[start:start + bs]
-                d = None
-                feats_list, masks, ids = [], [], []
-                for fn in chunk:
+                # preallocate + row-assign: np.stack/np.pad on ml_dtypes
+                # arrays (bfloat16) fall into numpy's per-element cast path
+                # (~100x slower than memcpy) — assignment into a preallocated
+                # buffer stays on the fast path. Batch dim is padded to the
+                # planned power-of-two so the tail batch reuses the compiled
+                # shape (zeros rows, mask False).
+                feats = None
+                mask = np.zeros((bs, bucket), bool)
+                ids = []
+                for j, fn in enumerate(chunk):
                     f = load_features(os.path.join(self.features_path, fn),
                                       self.dtype)
                     if f.shape[0] > bucket:
                         f = f[:bucket]
-                    d = f.shape[1]
-                    pad = bucket - f.shape[0]
-                    mask = np.zeros(bucket, bool)
-                    mask[: f.shape[0]] = True
-                    if pad:
-                        f = np.pad(f, ((0, pad), (0, 0)))
-                    feats_list.append(f)
-                    masks.append(mask)
+                    if feats is None:
+                        feats = np.zeros((bs, bucket, f.shape[1]), self.dtype)
+                    feats[j, : f.shape[0]] = f
+                    mask[j, : f.shape[0]] = True
                     ids.append(os.path.splitext(fn)[0])
-                # pad the batch dim to the planned (power-of-two) size so the
-                # tail batch reuses the same compiled shape
-                while len(feats_list) < bs:
-                    feats_list.append(np.zeros((bucket, d), self.dtype))
-                    masks.append(np.zeros(bucket, bool))
                 yield {
-                    "feats": np.stack(feats_list),
-                    "mask": np.stack(masks),
+                    "feats": feats,
+                    "mask": mask,
                     "slide_ids": ids,
                     "n_valid": len(ids),
                 }

@@ -1,0 +1,92 @@
+"""Multi-host (DCN) simulation: 2 processes x 4 virtual CPU devices must
+train bit-compatibly with 1 process x 8 devices (SURVEY §2b multi-host claim).
+
+The subprocesses use jax.distributed + Gloo CPU collectives; the in-process
+reference run reuses the test session's 8-device CPU backend.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _single_process_reference(csv_path, feat_dir):
+    from madeleine_tpu.config import MadeleineConfig
+    from madeleine_tpu.data.datasets import SlideDataset, TrainLoader
+    from madeleine_tpu.models.madeleine import init_madeleine_params
+    from madeleine_tpu.parallel.mesh import make_mesh
+    from madeleine_tpu.train.optim import make_optimizer
+    from madeleine_tpu.train.trainer import (
+        init_train_state, make_train_step, train_loop)
+
+    mods = ["HE", "HER2", "PGR"]
+    cfg = MadeleineConfig(
+        patch_embedding_dim=16, wsi_encoder_hidden_dim=16,
+        attention_hidden_dim=16, n_heads=2, precision="float32",
+        dataset="__test__", MODALITIES=mods,
+        temperature=0.01, lr=1e-3, max_epochs=2, warmup=True, warmup_epochs=1,
+        batch_size=8, got_subsample=8,
+        global_loss="info-nce", local_loss="got", symmetric_cl=True,
+    ).finalize()
+    ds = SlideDataset("T", csv_path, feat_dir, mods, embedding_size=16,
+                      sample=24, per_case_seed=True, seed=5)
+    loader = TrainLoader(ds, batch_size=8, shuffle=True, seed=5)
+    mesh = make_mesh(8)
+    params = init_madeleine_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=len(loader))
+    state = init_train_state(params, tx)
+    step = make_train_step(cfg, tx, mesh=mesh, donate=False)
+    loader.set_epoch(0)
+    state, ep_loss, rank, agg = train_loop(
+        cfg, step, state, loader, epoch=0, rng_key=jax.random.PRNGKey(3),
+        mesh=mesh)
+    param_sum = float(sum(float(np.abs(np.asarray(p)).sum())
+                          for p in jax.tree_util.tree_leaves(state.params)))
+    return {"ep_loss": ep_loss, "rank": rank, "param_sum": param_sum,
+            "n_steps": agg["n_steps"]}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_two_process_training_matches_single_process(tmp_path):
+    from tests.test_data import _write_cohort
+
+    csv_path, feat_dir = _write_cohort(tmp_path, n_cases=12, d=16)
+    ref = _single_process_reference(csv_path, feat_dir)
+    assert ref["n_steps"] >= 1
+
+    port = "12655"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", port, csv_path, feat_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for pid in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert line, f"no RESULT line:\n{out}\n{err}"
+        r = json.loads(line[-1][len("RESULT "):])
+        results[r["pid"]] = r
+
+    # both hosts must agree with each other AND with the single-process run
+    for pid in (0, 1):
+        r = results[pid]
+        assert r["n_steps"] == ref["n_steps"]
+        np.testing.assert_allclose(r["ep_loss"], ref["ep_loss"], rtol=1e-4,
+                                   err_msg=f"pid {pid} loss diverged")
+        np.testing.assert_allclose(r["rank"], ref["rank"], rtol=1e-3)
+        np.testing.assert_allclose(r["param_sum"], ref["param_sum"],
+                                   rtol=1e-5)
