@@ -1,12 +1,19 @@
 """Benchmark: BCNB-style slide encoding throughput on one chip.
 
-Measures slides/sec encoding 4096-token CONCH bags (512-d) through the
-flagship MADELEINE encoder (bf16, fused Pallas attention pooling).
+Line 1 (headline): slides/sec encoding 4096-token CONCH bags (512-d) through
+the flagship MADELEINE encoder (bf16, fused Pallas attention pooling).
 Baseline: the BASELINE.json north star of 200 slides/sec/chip at 4k-patch
 bags (the reference publishes no throughput; its downstream loop is bs=1
 per-slide torch on GPU).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Line 2: END-TO-END throughput — synthetic .bag files on disk ->
+BucketedBagLoader (threaded prefetch) -> run_inference -> embeddings, i.e.
+the full path `bin/extract_slide_embeddings.py` exercises. NOTE: under the
+axon tunnel, host->device bandwidth is ~35 MB/s, so this line measures the
+tunnel on that axis, not the system; production PCIe/ICI numbers are
+bounded by line 1 (see BASELINE.md §tunnel).
+
+Each line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
@@ -68,7 +75,58 @@ def main() -> None:
         "value": round(slides_per_sec, 2),
         "unit": "slides/sec/chip",
         "vs_baseline": round(slides_per_sec / BASELINE_SLIDES_PER_SEC, 3),
-    }))
+    }), flush=True)
+
+    bench_end_to_end(params, cfg)
+
+
+def bench_end_to_end(params, cfg) -> None:
+    """Disk .bag files -> BucketedBagLoader -> run_inference (the real
+    extraction path), timed end to end including IO and host->device feed."""
+    import shutil
+    import tempfile
+
+    from madeleine_tpu.data.datasets import BucketedBagLoader
+    from madeleine_tpu.eval.inference import run_inference
+    from madeleine_tpu.native import bagio
+
+    try:
+        import ml_dtypes
+
+        disk_dtype = ml_dtypes.bfloat16
+    except ImportError:
+        disk_dtype = np.float32
+
+    rng = np.random.default_rng(1)
+    tmp = tempfile.mkdtemp(prefix="madeleine_bench_")
+    n_slides, d = 96, 512
+    lengths = rng.integers(1024, 4096, n_slides)
+    try:
+        for i, n in enumerate(lengths):
+            bagio.write_bag_file(
+                os.path.join(tmp, f"s{i}.bag"),
+                rng.standard_normal((int(n), d)).astype(np.float32),
+                dtype="bfloat16")
+
+        def run():
+            loader = BucketedBagLoader(tmp, tokens_per_batch=262144,
+                                       dtype=disk_dtype)
+            return run_inference(params, cfg, loader, verbose=False)
+
+        run()  # warmup: compiles every (bucket, batch) shape + page cache
+        t0 = time.perf_counter()
+        res, _ = run()
+        elapsed = time.perf_counter() - t0
+        assert len(res["slide_ids"]) == n_slides
+        sps = n_slides / elapsed
+        print(json.dumps({
+            "metric": "e2e_disk_to_embedding_throughput",
+            "value": round(sps, 2),
+            "unit": "slides/sec/chip",
+            "vs_baseline": round(sps / BASELINE_SLIDES_PER_SEC, 3),
+        }), flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
