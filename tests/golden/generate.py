@@ -19,6 +19,62 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, "/root/reference")
 sys.modules.setdefault("wandb", types.ModuleType("wandb"))
 
+ACROBAT = ["HE", "HER2", "PGR", "KI67", "ER"]
+
+
+def flagship_state_dict(seed: int = 11, stain_encoding: bool = False,
+                        n_heads: int = 4, hidden: int = 512,
+                        d_in: int = 512, n_mod: int = 5,
+                        attn_dim: int = 512, token_dim: int = 128,
+                        se_dim: int = 32):
+    """Deterministic numpy state_dict at the published flagship shape
+    (ref: factory.py:16-39 / Model.py:50-94 — CONCH 512-d in, hidden 512,
+    4 heads, 5 ACROBAT stains, optional 32-d stain encodings).
+
+    Pure numpy so tests can rebuild the identical weights WITHOUT torch —
+    golden_flagship.npz then only has to carry inputs/outputs, not ~20 MB of
+    incompressible random weights per variant.
+    """
+    rng = np.random.default_rng(seed + int(stain_encoding))
+
+    def lin(i, o):
+        s = 1.0 / np.sqrt(i)  # torch kaiming_uniform(a=sqrt(5)) bound
+        return (rng.uniform(-s, s, (o, i)).astype(np.float32),
+                rng.uniform(-s, s, (o,)).astype(np.float32))
+
+    def ln(d):
+        # perturbed LN params so the affine path is actually exercised
+        return ((1.0 + 0.05 * rng.standard_normal(d)).astype(np.float32),
+                (0.05 * rng.standard_normal(d)).astype(np.float32))
+
+    sd = {}
+    fc_in = d_in + (se_dim if stain_encoding else 0)
+    dims = {"0": (fc_in, hidden), "4": (hidden, hidden),
+            "8": (hidden, hidden * n_heads)}
+    for idx, (i, o) in dims.items():
+        w, b = lin(i, o)
+        sd[f"wsi_embedders.pre_attn.{idx}.weight"] = w
+        sd[f"wsi_embedders.pre_attn.{idx}.bias"] = b
+    for idx, d in {"1": hidden, "5": hidden, "9": hidden * n_heads}.items():
+        w, b = ln(d)
+        sd[f"wsi_embedders.pre_attn.{idx}.weight"] = w
+        sd[f"wsi_embedders.pre_attn.{idx}.bias"] = b
+    for h in range(n_heads):
+        for branch, (i, o) in (("attention_a.0", (hidden, attn_dim)),
+                               ("attention_b.0", (hidden, attn_dim)),
+                               ("attention_c", (attn_dim, 1))):
+            w, b = lin(i, o)
+            sd[f"wsi_embedders.attn.{h}.{branch}.weight"] = w
+            sd[f"wsi_embedders.attn.{h}.{branch}.bias"] = b
+    w, b = lin(hidden * n_heads, token_dim)
+    sd["token_projector.weight"], sd["token_projector.bias"] = w, b
+    w, b = lin(hidden * n_heads, hidden)
+    sd["projector.weight"], sd["projector.bias"] = w, b
+    if stain_encoding:
+        sd["embedding.weight"] = (
+            0.5 * rng.standard_normal((n_mod, se_dim))).astype(np.float32)
+    return sd
+
 
 def main() -> None:
     import torch
@@ -87,5 +143,78 @@ def main() -> None:
     print(f"wrote golden.npz with {len(out)} arrays")
 
 
+def main_flagship() -> None:
+    """Flagship-shape golden fixtures (VERDICT r1 #5): n_heads=4, 512-d,
+    with AND without stain encodings, against the actual reference model.
+    Weights come from flagship_state_dict (regenerable torch-free)."""
+    import torch
+    from argparse import Namespace
+
+    from madeleine.models.Model import MADELEINE
+
+    out = {}
+    rng = np.random.default_rng(17)
+
+    def build(stain_encoding):
+        cfg = Namespace(MODALITIES=list(ACROBAT), wsi_encoder="abmil",
+                        patch_embedding_dim=512, wsi_encoder_hidden_dim=512,
+                        activation="softmax", n_heads=4, precision="float32")
+        model = MADELEINE(config=cfg, stain_encoding=stain_encoding)
+        sd = {k: torch.from_numpy(v)
+              for k, v in flagship_state_dict(stain_encoding=stain_encoding).items()}
+        model.load_state_dict(sd, strict=True)
+        model.eval()
+        return model
+
+    with torch.no_grad():
+        # --- variant A: without stain encodings --------------------------
+        model = build(False)
+        feats_he = rng.standard_normal((2, 96, 512)).astype(np.float32)
+        out["fs/encode_he/in"] = feats_he
+        out["fs/encode_he/out"] = model.encode_he(
+            torch.from_numpy(feats_he), device="cpu").numpy()
+
+        feats_tr = rng.standard_normal((2, 5, 48, 512)).astype(np.float32)
+        wsi, tok = model({"feats": torch.from_numpy(feats_tr)}, device="cpu",
+                         train=True, n_views=1)
+        out["fs/train/in"] = feats_tr
+        for mod in ACROBAT:
+            out[f"fs/train/wsi/{mod}"] = wsi[mod].numpy()
+            out[f"fs/train/tok/{mod}"] = tok[mod].numpy()
+
+        feats_at = rng.standard_normal((2, 40, 512)).astype(np.float32)
+        emb, attn = model({"feats": torch.from_numpy(feats_at[:, None])},
+                          device="cpu", train=False, return_attention=True)
+        out["fs/attn/in"] = feats_at
+        out["fs/attn/emb"] = emb.numpy()
+        out["fs/attn/raw"] = attn.numpy()
+
+        # --- variant B: with stain encodings ------------------------------
+        # bs=1 everywhere: the reference misassigns stain ids for bs>1 in the
+        # train branch (mod-major ids vs b-major flatten, Model.py:126-129 —
+        # documented deviation) and its eval concat only broadcasts at bs=1.
+        model = build(True)
+        feats_tr = rng.standard_normal((1, 5, 48, 512)).astype(np.float32)
+        wsi, tok = model({"feats": torch.from_numpy(feats_tr)}, device="cpu",
+                         train=True, n_views=1)
+        out["se/train/in"] = feats_tr
+        for mod in ACROBAT:
+            out[f"se/train/wsi/{mod}"] = wsi[mod].numpy()
+            out[f"se/train/tok/{mod}"] = tok[mod].numpy()
+
+        # eval per-stain branch with custom_stain_idx (Model.py:162-203):
+        # input carries ONE stain's bag; the idx keys the learned encoding
+        feats_ev = rng.standard_normal((1, 1, 48, 512)).astype(np.float32)
+        out["se/eval/in"] = feats_ev
+        for idx, mod in ((3, "KI67"), (1, "HER2")):
+            embs = model({"feats": torch.from_numpy(feats_ev)}, device="cpu",
+                         train=False, custom_stain_idx=idx)
+            out[f"se/eval/{idx}"] = embs[mod].numpy()
+
+    np.savez_compressed(os.path.join(HERE, "golden_flagship.npz"), **out)
+    print(f"wrote golden_flagship.npz with {len(out)} arrays")
+
+
 if __name__ == "__main__":
     main()
+    main_flagship()
