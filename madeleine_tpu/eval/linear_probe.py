@@ -110,6 +110,13 @@ def eval_single_task(
 
                 x_tr, y_tr, x_te, y_te = load_and_split(labels, embeds_path,
                                                         task, k)
+                if len(y_te) == 0 or len(np.unique(y_tr)) < 2:
+                    # cohort too small for this k: all slides consumed by the
+                    # train split (or a single-class train set) — skip the
+                    # fold instead of crashing (tiny synthetic cohorts)
+                    print(f"* warning: k={k} task={task} fold={fold}: "
+                          f"degenerate split (|test|={len(y_te)}); skipped")
+                    continue
                 clf = LogisticRegression(C=1, max_iter=10000, verbose=0,
                                          random_state=0)
                 clf.fit(x_tr, y_tr)

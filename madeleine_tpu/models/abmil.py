@@ -139,7 +139,19 @@ def pre_attn_mlp(
     train: bool = False,
 ) -> jnp.ndarray:
     """3x [Linear -> LayerNorm -> GELU(exact) -> Dropout(0.1)]; widths
-    in -> hidden -> hidden -> hidden*n_heads (ref: Model.py:350-363)."""
+    in -> hidden -> hidden -> hidden*n_heads (ref: Model.py:350-363).
+
+    Training on TPU routes through the fused Pallas op (ops/preattn.py):
+    the whole stack runs per token-block in VMEM with in-kernel hardware-RNG
+    dropout and a custom-VJP backward — no intermediates or masks in HBM."""
+    if (train and dropout_rng is not None and x.ndim == 3
+            and jax.default_backend() == "tpu"):
+        from madeleine_tpu.ops.preattn import preattn_train
+
+        seed = jax.random.randint(dropout_rng, (), 0,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        return preattn_train(x, p, seed, PRE_ATTN_DROPOUT)
+
     rngs = jax.random.split(dropout_rng, 3) if (train and dropout_rng is not None) else (None,) * 3
     for i, rng in zip((1, 2, 3), rngs):
         fc, ln = p[f"fc{i}"], p[f"ln{i}"]
@@ -165,7 +177,21 @@ def gated_attention_logits(
     returns raw logits [..., t, n_heads]
     (ref: abmil.py:41-52 — tanh(Wa x) * sigmoid(Wb x) -> Linear -> logits,
     with Dropout(0.25) on each gate branch when training.)
+
+    Training on TPU routes through the fused Pallas op (ops/gated_logits.py):
+    gates + dropout + logits in one kernel, custom-VJP backward — the gate
+    activations and their dropout masks never touch HBM.
     """
+    if (train and dropout_rng is not None and xh.ndim == 4
+            and jax.default_backend() == "tpu"):
+        from madeleine_tpu.ops.gated_logits import gated_logits_train
+
+        b, t, nh, e = xh.shape
+        seed = jax.random.randint(dropout_rng, (), 0,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        return gated_logits_train(xh.reshape(b, t, nh * e), attn, seed,
+                                  ATTN_DROPOUT)
+
     prec = dot_precision(xh.dtype)
     a = jnp.tanh(jnp.einsum("...he,hef->...hf", xh, attn["wa"],
                             precision=prec) + attn["ba"])
@@ -281,18 +307,26 @@ def abmil_embed(
 
     raw_logits = gated_attention_logits(params["attn"], xh, dropout_rng=attn_rng, train=train)
 
-    from madeleine_tpu.ops.attn_pool import masked_attention_pool
+    from madeleine_tpu.ops.attn_pool import (
+        fused_attention_pool,
+        masked_attention_pool,
+    )
+
+    def _pool(m, act):
+        if train and act == "softmax":
+            # differentiable fused pooling: Pallas streaming forward (on TPU),
+            # exact XLA backward via custom VJP — full-bag training without
+            # materializing the per-token softmax (ops/attn_pool.py)
+            return fused_attention_pool(xh, raw_logits, m, act, use_pallas, 512)
+        return masked_attention_pool(xh, raw_logits, mask=m, activation=act,
+                                     use_pallas=use_pallas)
 
     if n_views == 1:
-        pooled = masked_attention_pool(
-            xh, raw_logits, mask=mask, activation=activation, use_pallas=use_pallas
-        )
+        pooled = _pool(mask, activation)
         out: Tuple[jnp.ndarray, ...] = (pooled,)
     else:
         t = bags.shape[-2]
-        whole = masked_attention_pool(
-            xh, raw_logits, mask=mask, activation=activation, use_pallas=use_pallas
-        )
+        whole = _pool(mask, activation)
         # Two disjoint half-bag views via a shared random permutation
         # (ref: Model.py:427-437). Implemented as boolean half-masks + masked
         # re-softmax of the raw logits — identical math, static shapes.
@@ -305,10 +339,7 @@ def abmil_embed(
         views = []
         for half in (half1, ~half1):
             m = half[None, :] if mask is None else (mask & half[None, :])
-            views.append(
-                masked_attention_pool(xh, raw_logits, mask=m, activation="softmax",
-                                      use_pallas=use_pallas)
-            )
+            views.append(_pool(m, "softmax"))
         pooled = jnp.stack([whole] + views, axis=1)  # [b, 3, nh, e]
         out = (pooled,)
 

@@ -29,9 +29,20 @@ from jax.experimental.pallas import tpu as pltpu
 def _dropout_kernel(seed_ref, x_ref, o_ref, *, rate: float):
     # distinct stream per grid block; identical re-seed in backward
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    bits = pltpu.prng_random_bits(x_ref.shape)
-    bits = pltpu.bitcast(bits, jnp.uint32)
-    threshold = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
+    rows, n = x_ref.shape
+    if rows % 2 == 0:
+        # 16 random bits per site: the PRNG is the bottleneck (~180 GB/s of
+        # bits), so halving bits-per-element halves kernel time; 2^-16 keep-
+        # probability granularity is far below any training-visible effect.
+        # Narrowing bitcast doubles the second-minor (sublane) dim: the
+        # uint32s of one sublane become two uint16 sublanes. The compare is
+        # widened to i32 (v5e has no native 16-bit vector compare).
+        bits32 = pltpu.prng_random_bits((rows // 2, n))
+        bits = pltpu.bitcast(bits32, jnp.uint16).astype(jnp.int32)
+        threshold = jnp.int32(min(int(rate * (1 << 16)), (1 << 16) - 1))
+    else:
+        bits = pltpu.bitcast(pltpu.prng_random_bits((rows, n)), jnp.uint32)
+        threshold = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
     keep = bits >= threshold                      # P(keep) = 1 - rate
     scale = jnp.asarray(1.0 / (1.0 - rate), x_ref.dtype)
     o_ref[...] = jnp.where(keep, x_ref[...] * scale,

@@ -171,7 +171,7 @@ def make_train_step(cfg: MadeleineConfig, tx: optax.GradientTransformation,
         token_mask = batch.get("token_mask")   # [bs, n_mod, t] ragged bags
         slide_embs, token_embs = mtm.forward_train(
             cparams, cfg, feats, mask=token_mask, n_views=n_views,
-            rng=drop_rng, train=True, use_pallas=False)
+            rng=drop_rng, train=True, use_pallas=None)
         total, any_flag, metrics = compute_losses(
             cfg, slide_embs.astype(jnp.float32), token_embs,
             batch["modality_labels"], batch.get("sample_mask"), loss_rng,

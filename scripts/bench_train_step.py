@@ -1,0 +1,92 @@
+"""Sync-timed canonical-scale train-step benchmark (single chip).
+
+Canonical scale = the reference launch config (ref:
+scripts/launch_pretrain_withoutStainEncodings.sh:19-24): batch 65, 5 ACROBAT
+stains, 2048 tokens/bag, bf16 compute, InfoNCE(T=0.001, symmetric) + GOT.
+
+Prints per-step wall time (data resident on device; the step chained on the
+previous state so the backend cannot overlap iterations) — the number BASELINE.md
+records for the pretrain north star.
+
+Usage: python scripts/bench_train_step.py [--steps 10] [--no-remat]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=65)
+    ap.add_argument("--tokens", type=int, default=2048)
+    ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--profile-dir", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg
+    from madeleine_tpu.models.madeleine import init_madeleine_params
+    from madeleine_tpu.train.optim import make_optimizer
+    from madeleine_tpu.train.trainer import init_train_state, make_train_step
+
+    cfg = _flagship_cfg()
+    if args.no_remat:
+        cfg.remat = False
+
+    params = init_madeleine_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=64)
+    state = init_train_state(params, tx)
+    step = make_train_step(cfg, tx, donate=True)
+
+    rng = np.random.default_rng(0)
+    bs, n_mod, t, d = args.batch, len(cfg.MODALITIES), args.tokens, 512
+    labels = np.ones((bs, n_mod), np.float32)
+    # realistic stain availability (ACROBAT is ~70-90% per IHC stain)
+    for s in range(1, n_mod):
+        labels[:, s] = (rng.random(bs) < 0.8).astype(np.float32)
+    batch = {
+        "feats": jnp.asarray(rng.standard_normal((bs, n_mod, t, d)),
+                             jnp.bfloat16),
+        "modality_labels": jnp.asarray(labels),
+        "sample_mask": jnp.ones(bs, bool),
+    }
+
+    key = jax.random.PRNGKey(0)
+    # compile + warmup
+    state, he, m = step(state, batch, key)
+    np.asarray(he)  # force through the axon tunnel (block_until_ready lies)
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+
+    times = []
+    for i in range(args.steps):
+        t0 = time.perf_counter()
+        state, he, m = step(state, batch, jax.random.fold_in(key, i))
+        np.asarray(he)
+        times.append(time.perf_counter() - t0)
+
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+
+    times = np.asarray(times)
+    print(f"loss={float(m['loss']):.4f} skipped={bool(m['skipped'])}")
+    print(f"step time: median {np.median(times)*1e3:.1f} ms  "
+          f"min {times.min()*1e3:.1f} ms  mean {times.mean()*1e3:.1f} ms "
+          f"(bs={bs}, {n_mod} stains, {t} tok, remat={cfg.remat})")
+    ep = np.median(times) * (4211 // bs + 1)
+    print(f"-> est. ACROBAT epoch {ep:.1f} s, 120 epochs {ep*120/60:.1f} min "
+          f"on ONE chip")
+
+
+if __name__ == "__main__":
+    main()

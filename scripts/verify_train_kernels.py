@@ -1,0 +1,245 @@
+"""On-TPU verification of the training-path kernels (run manually on TPU).
+
+Checks, in order:
+1. hardware_dropout 16-bit path: keep-rate statistics, fwd/bwd mask identity.
+2. gated_logits_train rate=0: exact parity (values + grads) with the unfused
+   no-dropout XLA path.
+3. gated_logits_train rate=0.25: directional finite-difference grad check
+   (masks are y-independent, so the fixed-seed function is differentiable).
+4. train-pool routing (fused_attention_pool): grad parity with the pure-XLA
+   pooling at identical inputs.
+"""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madeleine_tpu.models.abmil import (
+    gated_attention_logits,
+    init_abmil_params,
+)
+from madeleine_tpu.ops.dropout import hardware_dropout
+from madeleine_tpu.ops.gated_logits import gated_logits_train
+from madeleine_tpu.ops.attn_pool import (
+    fused_attention_pool,
+    masked_attention_pool,
+)
+
+
+def check_dropout():
+    x = jnp.ones((4096, 512), jnp.bfloat16)
+    seed = jnp.int32(1234)
+    for rate in (0.1, 0.25):
+        y = np.asarray(hardware_dropout(x, seed, rate), np.float32)
+        keep = (y != 0).mean()
+        assert abs(keep - (1 - rate)) < 0.01, (rate, keep)
+        # bwd regenerates the identical mask: grad of sum(f(x)) = mask*scale
+        g = jax.grad(lambda x: jnp.sum(hardware_dropout(
+            x, seed, rate).astype(jnp.float32)))(x)
+        np.testing.assert_array_equal(np.asarray(g, np.float32) != 0, y != 0)
+        # deterministic across calls
+        y2 = np.asarray(hardware_dropout(x, seed, rate), np.float32)
+        np.testing.assert_array_equal(y, y2)
+    print("dropout 16-bit: OK")
+
+
+def check_gated_logits():
+    rng = np.random.default_rng(0)
+    nh, e, f, b, t = 4, 512, 512, 3, 384
+    params = init_abmil_params(jax.random.PRNGKey(1), e, e, nh, f)
+    attn = params["attn"]
+    y = jnp.asarray(rng.standard_normal((b, t, nh * e)), jnp.float32)
+    xh = y.reshape(b, t, nh, e)
+    seed = jnp.int32(99)
+
+    # rate=0 == unfused no-dropout path
+    ref = gated_attention_logits(attn, xh, train=False)
+    got = gated_logits_train(y, attn, seed, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-4)  # bf16 MXU vs HIGHEST
+
+    def loss_fused(y, attn):
+        return jnp.sum(jnp.sin(gated_logits_train(y, attn, seed, 0.0)))
+
+    def loss_ref(y, attn):
+        return jnp.sum(jnp.sin(gated_attention_logits(
+            attn, y.reshape(b, t, nh, e), train=False)))
+
+    gy_f, ga_f = jax.grad(loss_fused, argnums=(0, 1))(y, attn)
+    gy_r, ga_r = jax.grad(loss_ref, argnums=(0, 1))(y, attn)
+    np.testing.assert_allclose(np.asarray(gy_f), np.asarray(gy_r),
+                               rtol=5e-2, atol=3e-3)
+    for k in ga_f:
+        np.testing.assert_allclose(np.asarray(ga_f[k]), np.asarray(ga_r[k]),
+                                   rtol=5e-2,
+                                   atol=3e-3 * max(1.0, float(jnp.max(jnp.abs(ga_r[k])))),
+                                   err_msg=k)
+    print("gated_logits rate=0 parity (values + grads): OK")
+
+    # rate=0.25: exact bc-grad identity (dL/dbc[h] = sum cos(l)) — kernel-
+    # independent ground truth for the logits layer
+    def loss_attn(a):
+        return jnp.sum(jnp.sin(gated_logits_train(y, a, seed, 0.25)))
+
+    l = gated_logits_train(y, attn, seed, 0.25)
+    ga = jax.grad(loss_attn)(attn)
+    np.testing.assert_allclose(
+        np.asarray(ga["bc"]).ravel(),
+        np.asarray(jnp.sum(jnp.cos(l), axis=(0, 1))), rtol=1e-5)
+
+    # rate=0.25: FD along a wc direction — loss is (near-)linear in wc given
+    # the masked gates g, so this pins fwd/bwd MASK CONSISTENCY across the
+    # full multi-block grid with tight tolerance
+    d_wc = jnp.asarray(rng.standard_normal(attn["wc"].shape), jnp.float32)
+    d_wc = d_wc / jnp.linalg.norm(d_wc)
+
+    def loss_wc(wc):
+        return jnp.sum(jnp.sin(gated_logits_train(
+            y, dict(attn, wc=wc), seed, 0.25)))
+
+    eps = 1e-3
+    fd = (float(loss_wc(attn["wc"] + eps * d_wc))
+          - float(loss_wc(attn["wc"] - eps * d_wc))) / (2 * eps)
+    an = float(jnp.vdot(ga["wc"], d_wc))
+    rel = abs(fd - an) / max(abs(fd), 1e-6)
+    assert rel < 1e-2, (fd, an, rel)
+    print(f"gated_logits rate=0.25 wc fd-check: OK (fd={fd:.5f} an={an:.5f})")
+
+    # rate=0.25: y-direction FD at a small size (f32 loss-sum noise swamps
+    # the signal at large t; masks are y-independent so FD is valid)
+    y_s = jnp.asarray(0.5 * rng.standard_normal((1, 128, nh * e)), jnp.float32)
+
+    def loss_y(yv):
+        return jnp.sum(jnp.sin(gated_logits_train(yv, attn, seed, 0.25)))
+
+    d = jnp.asarray(rng.standard_normal(y_s.shape), jnp.float32)
+    d = d / jnp.linalg.norm(d)
+    eps = 3e-2
+    fd = (float(loss_y(y_s + eps * d)) - float(loss_y(y_s - eps * d))) / (2 * eps)
+    an = float(jnp.vdot(jax.grad(loss_y)(y_s), d))
+    rel = abs(fd - an) / max(abs(fd), 1e-6)
+    assert rel < 5e-2, (fd, an, rel)
+    print(f"gated_logits rate=0.25 y fd-check: OK (fd={fd:.5f} an={an:.5f})")
+
+    # determinism: two identical calls, identical output
+    a1 = np.asarray(gated_logits_train(y, attn, seed, 0.25))
+    a2 = np.asarray(gated_logits_train(y, attn, seed, 0.25))
+    np.testing.assert_array_equal(a1, a2)
+    drop_frac = float((np.asarray(
+        gated_logits_train(y, attn, seed, 0.25))
+        != np.asarray(gated_logits_train(y, attn, seed, 0.0))).mean())
+    assert drop_frac > 0.5, drop_frac  # dropout actually happened
+    print("gated_logits determinism + dropout-active: OK")
+
+
+def check_preattn():
+    from madeleine_tpu.models.abmil import pre_attn_mlp
+    from madeleine_tpu.ops.preattn import preattn_train
+
+    rng = np.random.default_rng(2)
+    nh, e, d_in, b, t = 4, 512, 512, 2, 384
+    params = init_abmil_params(jax.random.PRNGKey(4), d_in, e, nh, 512)
+    pre = params["pre_attn"]
+    x = jnp.asarray(rng.standard_normal((b, t, d_in)), jnp.float32)
+    seed = jnp.int32(42)
+
+    # rate=0 == the unfused no-dropout stack (values + grads)
+    ref = pre_attn_mlp(pre, x, train=False)
+    got = preattn_train(x, pre, seed, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=3e-4)
+
+    def lf(x, pre):
+        return jnp.sum(jnp.sin(preattn_train(x, pre, seed, 0.0)))
+
+    def lr(x, pre):
+        return jnp.sum(jnp.sin(pre_attn_mlp(pre, x, train=False)))
+
+    gx_f, gp_f = jax.grad(lf, argnums=(0, 1))(x, pre)
+    gx_r, gp_r = jax.grad(lr, argnums=(0, 1))(x, pre)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=5e-2, atol=5e-3)
+    flat_f = jax.tree_util.tree_leaves_with_path(gp_f)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(gp_r))
+    for path, v in flat_f:
+        w = flat_r[path]
+        scale = max(1.0, float(jnp.max(jnp.abs(w))))
+        np.testing.assert_allclose(np.asarray(v), np.asarray(w), rtol=5e-2,
+                                   atol=5e-3 * scale, err_msg=str(path))
+    print("preattn rate=0 parity (values + grads): OK")
+
+    # rate=0.1: determinism + dropout active
+    y1 = np.asarray(preattn_train(x, pre, seed, 0.1))
+    y2 = np.asarray(preattn_train(x, pre, seed, 0.1))
+    np.testing.assert_array_equal(y1, y2)
+    assert (y1 != np.asarray(got)).mean() > 0.3
+
+    # rate=0.1: FD checks (mask consistency fwd/bwd). Loss = random linear
+    # functional <r, y>: GELU outputs are positively skewed, so sum(sin(y))
+    # is O(1e5) and its f32 ulp swamps the FD signal; a random projection is
+    # zero-mean and well-conditioned while still exercising the full backward.
+    x_s = jnp.asarray(0.5 * rng.standard_normal((1, 128, d_in)), jnp.float32)
+    E = pre["fc3"]["w"].shape[1]
+    r = jnp.asarray(rng.standard_normal((1, 128, E)), jnp.float32)
+    r = r / jnp.linalg.norm(r)
+
+    def loss_y(xv):
+        return jnp.vdot(r, preattn_train(xv, pre, seed, 0.1))
+
+    d = jnp.asarray(rng.standard_normal(x_s.shape), jnp.float32)
+    d = d / jnp.linalg.norm(d)
+    eps = 3e-2
+    fd = (float(loss_y(x_s + eps * d)) - float(loss_y(x_s - eps * d))) / (2 * eps)
+    an = float(jnp.vdot(jax.grad(loss_y)(x_s), d))
+    rel = abs(fd - an) / max(abs(fd), 1e-6)
+    assert rel < 5e-2, (fd, an, rel)
+
+    def loss_w2(w2):
+        p2 = dict(pre, fc2=dict(pre["fc2"], w=w2))
+        return jnp.vdot(r, preattn_train(x_s, p2, seed, 0.1))
+
+    dw = jnp.asarray(rng.standard_normal(pre["fc2"]["w"].shape), jnp.float32)
+    dw = dw / jnp.linalg.norm(dw)
+    fd = (float(loss_w2(pre["fc2"]["w"] + eps * dw))
+          - float(loss_w2(pre["fc2"]["w"] - eps * dw))) / (2 * eps)
+    an = float(jnp.vdot(jax.grad(loss_w2)(pre["fc2"]["w"]), dw))
+    rel = abs(fd - an) / max(abs(fd), 1e-6)
+    assert rel < 5e-2, (fd, an, rel)
+    print("preattn rate=0.1 determinism + fd-checks: OK")
+
+
+def check_fused_pool_grads():
+    rng = np.random.default_rng(3)
+    b, t, nh, e = 2, 300, 4, 64
+    xh = jnp.asarray(rng.standard_normal((b, t, nh, e)), jnp.float32)
+    logits = jnp.asarray(rng.standard_normal((b, t, nh)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, t)) < 0.8)
+
+    def loss_fused(xh, logits):
+        return jnp.sum(jnp.cos(fused_attention_pool(
+            xh, logits, mask, "softmax", None, 128)))
+
+    def loss_ref(xh, logits):
+        return jnp.sum(jnp.cos(masked_attention_pool(
+            xh, logits, mask=mask, activation="softmax", use_pallas=False)))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(xh, logits)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(xh, logits)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-5)
+    print("fused_attention_pool grads vs XLA: OK")
+
+
+if __name__ == "__main__":
+    print("backend:", jax.default_backend())
+    check_dropout()
+    check_gated_logits()
+    check_preattn()
+    check_fused_pool_grads()
+    print("ALL OK")
