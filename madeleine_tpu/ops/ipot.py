@@ -1,0 +1,198 @@
+"""IPOT transport plan — whole proximal-point loop as one Pallas kernel.
+
+Semantics identical to `losses.ipot_plan` (ref: loss.py:179-193): `iterations`
+proximal Sinkhorn steps with uniform marginals,
+
+    Q = A o T;  delta = 1/(n Q sigma);  a = Q^T delta;  sigma' = 1/(m a);
+    T' = delta o Q o sigma'^T,   A = exp(-C / beta).
+
+XLA runs this as ~30 dependent fusions that round-trip every [b, n, m]
+intermediate through HBM, and reverse-mode AD through the loop stacks
+per-iteration residuals — measured ~50x the forward cost at train shapes.
+Here:
+
+  forward:  grid (b,); per problem C lives in VMEM and ALL iterations run
+            on-chip. HBM traffic = read C, write T.
+  backward: custom VJP replays the forward per problem storing the (T_i,
+            sigma_i) history in a VMEM scratch (30 x 256 x 256 f32 ~ 7.9 MB),
+            then runs the exact adjoint recurrence of the iteration map,
+            also entirely in VMEM. This is the true derivative of the
+            unrolled loop — the same function XLA's autodiff computes
+            (the reference differentiates through the unconverged Sinkhorn,
+            so we keep those semantics rather than a Danskin/envelope
+            approximation).
+
+Row/column vectors are kept as [n, 1] / [1, m] 2-D arrays and every
+contraction is a dot_general with explicit dimension numbers — no transposes
+(Mosaic lowers those badly for tiny trailing dims).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_HI)
+
+
+def _step(A, T, sigma, n: int, m: int):
+    """One IPOT iteration. T [n,m], sigma [1,m] -> (T', sigma', Q, delta)."""
+    Q = A * T
+    u = _dot(Q, sigma, ((1,), (1,)))               # [n, 1]
+    delta = 1.0 / (n * u)                          # [n, 1]
+    a = _dot(delta, Q, ((0,), (0,)))               # [1, m]
+    sigma1 = 1.0 / (m * a)                         # [1, m]
+    T1 = delta * Q * sigma1                        # broadcast outer
+    return T1, sigma1, Q, delta
+
+
+def _fwd_kernel(c_ref, t_ref, *, beta: float, iters: int):
+    C = c_ref[0].astype(jnp.float32)               # [n, m]
+    n, m = C.shape
+    A = jnp.exp(-C / beta)
+
+    def body(_, carry):
+        T, sigma = carry
+        T1, sigma1, _, _ = _step(A, T, sigma, n, m)
+        return T1, sigma1
+
+    T0 = jnp.ones((n, m), jnp.float32)
+    s0 = jnp.full((1, m), 1.0 / m, jnp.float32)
+    T, _ = jax.lax.fori_loop(0, iters, body, (T0, s0))
+    t_ref[0] = T.astype(t_ref.dtype)
+
+
+def _bwd_kernel(c_ref, g_ref, dc_ref, t_hist, s_hist, *, beta: float,
+                iters: int):
+    C = c_ref[0].astype(jnp.float32)
+    n, m = C.shape
+    A = jnp.exp(-C / beta)
+
+    # ---- replay forward, storing each iteration's INPUT (T_i, sigma_i) ----
+    def fwd_body(i, carry):
+        T, sigma = carry
+        t_hist[i] = T
+        s_hist[i] = sigma
+        T1, sigma1, _, _ = _step(A, T, sigma, n, m)
+        return T1, sigma1
+
+    T0 = jnp.ones((n, m), jnp.float32)
+    s0 = jnp.full((1, m), 1.0 / m, jnp.float32)
+    jax.lax.fori_loop(0, iters, fwd_body, (T0, s0))
+
+    # ---- adjoint recurrence, last iteration first -------------------------
+    # All contractions here are [n,m] -> row/col sums written as elementwise
+    # mul + jnp.sum (VPU reductions): Mosaic's dot_general lowering fuses a
+    # following add into the matmul accumulator and only supports constant
+    # accumulators ("add(vec, dot(...))" fails to lower), and
+    # optimization_barrier has no Pallas TPU lowering. The two ddelta
+    # contributions rowsum(dT*Q*sig1) + rowsum(Q*da) are merged algebraically
+    # into one reduction rowsum(Q*(dT*sig1 + da)) for the same reason.
+    def bwd_body(r, carry):
+        dT, dsig, dA = carry
+        i = iters - 1 - r
+        T_i = t_hist[i]
+        sig_i = s_hist[i]
+        _, sig1, Q, delta = _step(A, T_i, sig_i, n, m)
+
+        # T1 = delta o Q o sig1; sig1 = 1/(m a); a = colsum(delta o Q)
+        dsig1 = dsig + jnp.sum(delta * dT * Q, axis=0, keepdims=True)  # [1,m]
+        da = -m * sig1 * sig1 * dsig1                                  # [1,m]
+        ddelta = jnp.sum(Q * (dT * sig1 + da), axis=1, keepdims=True)  # [n,1]
+        # delta = 1/(n u), u = rowsum(Q o sig_i)
+        du = -n * delta * delta * ddelta                               # [n,1]
+        dQ = dT * delta * sig1 + delta * da + du * sig_i               # [n,m]
+        dsig_i = jnp.sum(du * Q, axis=0, keepdims=True)                # [1,m]
+        # Q = A o T_i
+        dT_i = dQ * A
+        dA = dA + dQ * T_i
+        return dT_i, dsig_i, dA
+
+    g = g_ref[0].astype(jnp.float32)
+    zero_s = jnp.zeros((1, m), jnp.float32)
+    zero_A = jnp.zeros((n, m), jnp.float32)
+    _, _, dA = jax.lax.fori_loop(0, iters, bwd_body, (g, zero_s, zero_A))
+    # A = exp(-C/beta); T_0, sigma_0 are constants
+    dc_ref[0] = (dA * A * (-1.0 / beta)).astype(dc_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("beta", "iters", "interpret"))
+def _fwd_call(C, *, beta, iters, interpret=False):
+    b, n, m = C.shape
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, beta=beta, iters=iters),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, m), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, n, m), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, m), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * iters * (2 * n * m + 5 * n * m),
+            bytes_accessed=2 * b * n * m * 4,
+            transcendentals=b * n * m,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(C)
+
+
+@functools.partial(jax.jit, static_argnames=("beta", "iters", "interpret"))
+def _bwd_call(C, g, *, beta, iters, interpret=False):
+    b, n, m = C.shape
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, beta=beta, iters=iters),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, m), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, m), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((iters, n, m), jnp.float32),
+            pltpu.VMEM((iters, 1, m), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * iters * (2 * n * m + 5 * n * m),
+            bytes_accessed=3 * b * n * m * 4,
+            transcendentals=b * n * m,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(C, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def ipot_plan_fused(C: jnp.ndarray, beta: float = 0.5,
+                    iterations: int = 50) -> jnp.ndarray:
+    """Drop-in `ipot_plan` with the whole loop fused on-chip (TPU).
+    C: [b, n, m] f32 -> T [b, n, m] f32. Differentiable (exact unrolled-loop
+    adjoint, matching XLA autodiff semantics)."""
+    return _fwd_call(C, beta=beta, iters=iterations)
+
+
+def _ipf_fwd(C, beta, iterations):
+    return _fwd_call(C, beta=beta, iters=iterations), C
+
+
+def _ipf_bwd(beta, iterations, C, g):
+    return (_bwd_call(C, g, beta=beta, iters=iterations),)
+
+
+ipot_plan_fused.defvjp(_ipf_fwd, _ipf_bwd)

@@ -236,10 +236,41 @@ def check_fused_pool_grads():
     print("fused_attention_pool grads vs XLA: OK")
 
 
+def check_ipot():
+    from madeleine_tpu.ops.ipot import ipot_plan_fused
+    from madeleine_tpu.ops.losses import cosine_cost, ipot_plan, _threshold_relu
+
+    rng = np.random.default_rng(7)
+    B, n, d = 16, 256, 128
+    v = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    C = _threshold_relu(cosine_cost(v, q), None)
+
+    for beta, iters in ((0.5, 30), (0.1, 20)):
+        T_ref = np.asarray(ipot_plan(C, beta=beta, iterations=iters))
+        T_new = np.asarray(ipot_plan_fused(C, beta, iters))
+        np.testing.assert_allclose(T_new, T_ref, rtol=1e-4, atol=1e-7,
+                                   err_msg=f"beta={beta}")
+
+    # gradient parity vs XLA autodiff through the loop (same semantics)
+    def wd_new(C):
+        return jnp.sum(C * ipot_plan_fused(C, 0.5, 30))
+
+    def wd_ref(C):
+        return jnp.sum(C * ipot_plan(C, beta=0.5, iterations=30))
+
+    g_new = np.asarray(jax.grad(wd_new)(C))
+    g_ref = np.asarray(jax.grad(wd_ref)(C))
+    np.testing.assert_allclose(g_new, g_ref, rtol=1e-3,
+                               atol=1e-5 * np.abs(g_ref).max())
+    print("ipot fused plan (values + grad vs XLA-through-loop): OK")
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
     check_dropout()
     check_gated_logits()
     check_preattn()
     check_fused_pool_grads()
+    check_ipot()
     print("ALL OK")
