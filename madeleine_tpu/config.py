@@ -74,6 +74,8 @@ class MadeleineConfig:
 
     # ---- TPU-native extensions (no reference equivalent) ----
     remat: bool = True                   # rematerialize the embedder in backward
+    modality_scan: bool = True           # sequential modality scan (low memory) vs
+                                         # joint [bs*n_mod] batch (faster when it fits)
     mesh_shape: Optional[int] = None     # data-parallel mesh size; None = all local devices
     checkpoint_every: int = 0            # extra periodic orbax checkpoints (0 = rank-gated only)
     profile_dir: Optional[str] = None    # jax.profiler trace output dir

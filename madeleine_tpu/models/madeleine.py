@@ -155,6 +155,36 @@ def forward_train(
                             pooled.reshape(bs, pooled.shape[1], nh * e))
         return slide_emb, tok_emb
 
+    if train and not cfg.modality_scan:
+        # Joint path: fold modalities into the batch dim — one embedder call
+        # over [bs*n_mod, t, d]. Larger fusion regions and no scan overhead;
+        # residuals for ALL modalities are live at once, so this needs
+        # remat=False headroom math to fit (with the custom-VJP train kernels
+        # saving only (x, seed), canonical scale is ~3.5 GB — it fits).
+        x = feats.reshape(bs * n_mod, t, d)
+        mask_f = None if mask is None else mask.reshape(bs * n_mod, t)
+        if cfg.add_stain_encoding:
+            # row b*n_mod + m is modality m (correct per-stain id; see the
+            # scan path's deviation note)
+            x = _append_stain_encoding(params, x,
+                                       jnp.tile(jnp.arange(n_mod), bs))
+        pooled, tokens = abmil_embed(
+            params["wsi_embedders"], x,
+            n_heads=cfg.n_heads, activation=cfg.activation, mask=mask_f,
+            n_views=n_views, view_rng=view_rng, dropout_rng=drop_rng,
+            train=True, return_tokens=True, use_pallas=use_pallas,
+        )
+        if n_views == 1:
+            pooled = pooled[:, None]                  # [bs*n_mod, 1, nh, e]
+        nh, e = tokens.shape[-2], tokens.shape[-1]
+        tok_emb = _linear(params["token_projector"],
+                          tokens.reshape(bs * n_mod, t, nh * e))
+        slide_emb = _linear(params["projector"],
+                            pooled.reshape(bs * n_mod, pooled.shape[1],
+                                           nh * e))
+        return (slide_emb.reshape(bs, n_mod, *slide_emb.shape[1:]),
+                tok_emb.reshape(bs, n_mod, t, tok_emb.shape[-1]))
+
     if train:
         # Sequential scan over modalities + remat: only ONE modality's
         # embedder activations are ever live (canonical scale would otherwise

@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_shape", type=int, default=None,
                    help="data-parallel device count (default: all devices)")
     p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--no_remat", dest="remat", action="store_false",
+                   help="keep embedder residuals (faster when HBM allows)")
+    p.add_argument("--no_modality_scan", dest="modality_scan",
+                   action="store_false",
+                   help="joint [bs*n_mod] embedder batch instead of the "
+                        "sequential modality scan (faster when it fits HBM; "
+                        "pair with --no_remat)")
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--resume", type=str, default=None,
                    help="orbax train-state dir to resume from")

@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=65)
     ap.add_argument("--tokens", type=int, default=2048)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--no-scan", action="store_true",
+                    help="joint [bs*n_mod] embedder batch (cfg.modality_scan=False)")
     ap.add_argument("--profile-dir", default=None)
     args = ap.parse_args()
 
@@ -41,6 +43,8 @@ def main() -> None:
     cfg = _flagship_cfg()
     if args.no_remat:
         cfg.remat = False
+    if args.no_scan:
+        cfg.modality_scan = False
 
     params = init_madeleine_params(jax.random.PRNGKey(0), cfg)
     tx, _ = make_optimizer(cfg, steps_per_epoch=64)
