@@ -14,6 +14,9 @@ Endpoints:
   POST /encode        body: .npz bytes with a 'features' [n, d] array
                       (reference h5 bags converted client-side), or raw f32
                       with headers X-Rows/X-Cols
+  POST /encode_batch  body: .npz with 'features' [total, d] (row-concat of k
+                      bags) + 'offsets' [k+1] prefix sums; returns k
+                      embeddings batched through one dispatcher flush
   GET  /healthz       liveness + model info
   GET  /stats         counters (requests, batches, slides, p50/p95 latency)
 """
@@ -126,6 +129,34 @@ class EmbeddingService:
             raise RuntimeError(p.error)
         return p.result
 
+    def encode_many(self, bags: List[np.ndarray],
+                    timeout: float = 120.0) -> List[np.ndarray]:
+        """Blocking multi-bag encode. All bags enqueue at once, so the
+        dispatcher batches them together (grouped by length bucket) instead
+        of paying one dispatch round-trip per bag."""
+        pending = []
+        for feats in bags:
+            if feats.ndim != 2:
+                raise ValueError(f"features must be [n, d], got {feats.shape}")
+            if feats.shape[1] != self.cfg.patch_embedding_dim:
+                raise ValueError(
+                    f"feature dim {feats.shape[1]} != model input dim "
+                    f"{self.cfg.patch_embedding_dim}")
+            pending.append(_Pending(np.asarray(feats, np.float32)))
+        with self._stats_lock:
+            self.counters["requests"] += len(pending)
+        for p in pending:
+            self._q.put(p)
+        deadline = time.perf_counter() + timeout
+        out = []
+        for p in pending:
+            if not p.event.wait(max(0.0, deadline - time.perf_counter())):
+                raise TimeoutError("encode_many timed out")
+            if p.error:
+                raise RuntimeError(p.error)
+            out.append(p.result)
+        return out
+
     def _bucket_of(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
@@ -227,21 +258,40 @@ def make_handler(service: EmbeddingService):
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/encode":
-                self._reply(404, {"error": "not found"})
-                return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(length)
-                if self.headers.get("X-Rows"):
-                    rows = int(self.headers["X-Rows"])
-                    cols = int(self.headers["X-Cols"])
-                    feats = np.frombuffer(raw, np.float32).reshape(rows, cols)
-                else:
+                if self.path == "/encode":
+                    if self.headers.get("X-Rows"):
+                        rows = int(self.headers["X-Rows"])
+                        cols = int(self.headers["X-Cols"])
+                        feats = np.frombuffer(raw, np.float32).reshape(rows,
+                                                                       cols)
+                    else:
+                        with np.load(io.BytesIO(raw)) as npz:
+                            feats = npz["features"]
+                    emb = service.encode(np.asarray(feats, np.float32))
+                    self._reply(200, {"embedding": emb.tolist()})
+                elif self.path == "/encode_batch":
+                    # packed ragged bags: 'features' [total, d] row-concat of
+                    # k bags + 'offsets' [k+1] prefix sums (offsets[i]:
+                    # offsets[i+1] is bag i)
                     with np.load(io.BytesIO(raw)) as npz:
-                        feats = npz["features"]
-                emb = service.encode(np.asarray(feats, np.float32))
-                self._reply(200, {"embedding": emb.tolist()})
+                        feats = np.asarray(npz["features"], np.float32)
+                        offs = np.asarray(npz["offsets"], np.int64)
+                    if offs.ndim != 1 or len(offs) < 2 or offs[0] != 0 \
+                            or offs[-1] != len(feats) \
+                            or np.any(np.diff(offs) <= 0):
+                        raise ValueError(
+                            "offsets must be increasing prefix sums "
+                            "[0, ..., len(features)] with nonempty bags")
+                    bags = [feats[offs[i]:offs[i + 1]]
+                            for i in range(len(offs) - 1)]
+                    embs = service.encode_many(bags)
+                    self._reply(200,
+                                {"embeddings": [e.tolist() for e in embs]})
+                else:
+                    self._reply(404, {"error": "not found"})
             except (ValueError, KeyError) as e:
                 self._reply(400, {"error": str(e)})
             except Exception as e:

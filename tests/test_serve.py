@@ -138,3 +138,67 @@ def test_warmup_compiles_buckets(service):
     # after warmup, a request still round-trips correctly
     out = svc.encode(np.zeros((10, 8), np.float32))
     assert out.shape == (16,)
+
+
+def test_encode_many_matches_direct(service):
+    svc, params, cfg = service
+    rng = np.random.default_rng(3)
+    bags = [rng.standard_normal((n, 8)).astype(np.float32)
+            for n in (12, 40, 40, 100)]
+    embs = svc.encode_many(bags)
+    assert len(embs) == 4
+    for i, f in enumerate(bags):
+        want = np.asarray(mtm.encode_he(params, cfg, jnp.asarray(f[None])))[0]
+        np.testing.assert_allclose(embs[i], want, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"bag {i}")
+
+
+def test_encode_many_validates_before_enqueue(service):
+    svc, _, _ = service
+    before = svc.stats()["requests"]
+    with pytest.raises(ValueError):
+        svc.encode_many([np.zeros((10, 8), np.float32),
+                         np.zeros((10, 99), np.float32)])
+    assert svc.stats()["requests"] == before  # nothing half-enqueued
+
+
+def test_http_encode_batch(service):
+    from http.server import ThreadingHTTPServer
+
+    svc, params, cfg = service
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.default_rng(4)
+        bags = [rng.standard_normal((n, 8)).astype(np.float32)
+                for n in (15, 60, 33)]
+        packed = np.concatenate(bags, axis=0)
+        offsets = np.cumsum([0] + [len(b) for b in bags])
+        buf = io.BytesIO()
+        np.savez(buf, features=packed, offsets=offsets)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/encode_batch", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            embs = json.loads(r.read())["embeddings"]
+        assert len(embs) == 3
+        for i, f in enumerate(bags):
+            want = np.asarray(mtm.encode_he(params, cfg,
+                                            jnp.asarray(f[None])))[0]
+            np.testing.assert_allclose(np.asarray(embs[i], np.float32), want,
+                                       rtol=1e-3, atol=1e-4, err_msg=f"bag {i}")
+
+        # bad offsets -> 400
+        buf = io.BytesIO()
+        np.savez(buf, features=packed, offsets=np.asarray([0, 5, 4]))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/encode_batch", data=buf.getvalue(),
+            method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
