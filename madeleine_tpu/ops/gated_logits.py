@@ -30,6 +30,7 @@ branch) — forward and backward draw identical bits regardless of code motion.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -38,6 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_RATE = 0.25  # ref: abmil.py:34-35
+# token-block size (env-tunable for sweeps; measured best at canonical scale)
+DEFAULT_T_BLOCK = int(os.environ.get("MADELEINE_GATED_TBLOCK", "128"))
 
 
 def _branch_mask(base_seed, h: int, branch: int, shape, rate: float):
@@ -263,7 +266,7 @@ def _bwd_call(y, dl, seed, wa, ba, wb, bb, wc, bc, *, e, nh, f, rate, t_block,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def gated_logits_train(y: jnp.ndarray, attn, seed: jnp.ndarray,
                        rate: float = DEFAULT_RATE,
-                       t_block: int = 128) -> jnp.ndarray:
+                       t_block: int = DEFAULT_T_BLOCK) -> jnp.ndarray:
     """Training-mode gated attention logits with fused in-kernel dropout.
 
     y: [b, t, E] head-major pre-attention features (E = nh * e)

@@ -22,6 +22,7 @@ no erf, and its backward uses gelu'(u) = Phi(u) + u*phi(u).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,8 @@ from madeleine_tpu.ops.encode_fused import _erf
 
 LN_EPS = 1e-5
 DEFAULT_RATE = 0.1        # ref: Model.py:354,358,362
+# token-block size (env-tunable for sweeps; measured best at canonical scale)
+DEFAULT_T_BLOCK = int(os.environ.get("MADELEINE_PREATTN_TBLOCK", "256"))
 _INV_SQRT2 = 2.0 ** -0.5
 _INV_SQRT_2PI = 0.3989422804014327
 
@@ -279,7 +282,7 @@ def _bwd_call(x, dy, seed, *wargs, rate, t_block, interpret=False):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def preattn_train(x: jnp.ndarray, pre, seed: jnp.ndarray,
                   rate: float = DEFAULT_RATE,
-                  t_block: int = 256) -> jnp.ndarray:
+                  t_block: int = DEFAULT_T_BLOCK) -> jnp.ndarray:
     """Training-mode pre-attention MLP with fused in-kernel dropout.
 
     x: [b, t, d_in]; pre: the abmil 'pre_attn' subtree; seed: int32 scalar.
