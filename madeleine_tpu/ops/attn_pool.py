@@ -130,6 +130,140 @@ def _pool_kernel(x_ref, l_ref, o_ref, m_acc, s_acc, w_acc, *, e: int, nh: int):
         o_ref[0] = (w_acc[...] / s_e).astype(o_ref.dtype)
 
 
+def _pool_ms_kernel(x_ref, l_ref, o_ref, m_ref, s_ref, m_acc, s_acc, w_acc,
+                    *, e: int, nh: int):
+    """_pool_kernel + emits the per-(b, head) softmax stats (running max m and
+    clamped denom s) so a custom-VJP backward can recompute the attention
+    weights in one streaming pass without re-reducing over t."""
+    _pool_kernel(x_ref, l_ref, o_ref, m_acc, s_acc, w_acc, e=e, nh=nh)
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _emit_stats():
+        m_ref[0] = m_acc[...]
+        s_ref[0] = jnp.maximum(s_acc[...], 1e-30)
+
+
+def _pool_bwd_kernel(y_ref, l_ref, m_ref, s_ref, g_ref, inner_ref,
+                     dx_ref, dl_ref, *, e: int, nh: int):
+    """VJP of pooled[h,e] = sum_t a[t,h] y[t,he] with a = softmax_t(l):
+        dx[t,he] = a[t,h] g[he]
+        dl[t,h]  = a[t,h] (da[t,h] - inner[h]),  da[t,h] = sum_e g[he] y[t,he]
+    inner[h] = sum_t a da = sum_e g[he] pooled[he] is computed OUTSIDE from
+    the saved forward output, so each t-block is independent: grid (b, nt)
+    with no carried state, natural [b, t, E] layout throughout (the XLA
+    backward materialized [b,t,nh,e] in a transposed layout — ~50 ms/step of
+    pure copies at canonical scale)."""
+    y = y_ref[0].astype(jnp.float32)                     # [T, E]
+    l = l_ref[0].astype(jnp.float32)                     # [T, nh]
+    a = jnp.exp(l - m_ref[0]) / s_ref[0]                 # [T, nh]
+    g = g_ref[0]                                         # [1, E] f32
+    M = _head_expand_matrix(e, nh)                       # [nh, E]
+    hi = jax.lax.Precision.HIGHEST
+    a_e = jnp.dot(a, M, preferred_element_type=jnp.float32, precision=hi)
+    dx_ref[0] = (a_e * g).astype(dx_ref.dtype)
+    da = jax.lax.dot_general(y * g, M, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=hi)               # [T, nh]
+    dl_ref[0] = (a * (da - inner_ref[0])).astype(dl_ref.dtype)
+
+
+def _pad_inputs(y, logits_masked, t_block):
+    b, t, E = y.shape
+    nt = pl.cdiv(t, t_block)
+    t_pad = nt * t_block - t
+    if t_pad:
+        y = jnp.pad(y, ((0, 0), (0, t_pad), (0, 0)))
+        logits_masked = jnp.pad(logits_masked, ((0, 0), (0, t_pad), (0, 0)),
+                                constant_values=NEG_INF)
+    return y, logits_masked, nt, t_pad
+
+
+@functools.partial(jax.jit, static_argnames=("e", "nh", "t_block", "interpret"))
+def _pool_pallas_ms(y, logits_masked, *, e, nh, t_block, interpret=False):
+    """Like _pool_pallas but also returns the softmax stats (m, s) [b,1,nh]."""
+    b, t, E = y.shape
+    y, logits_masked, nt, t_pad = _pad_inputs(y, logits_masked, t_block)
+    kernel = functools.partial(_pool_ms_kernel, e=e, nh=nh)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, t_block, E), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_block, nh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, E), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, E), y.dtype),
+            jax.ShapeDtypeStruct((b, 1, nh), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, nh), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, nh), jnp.float32),
+            pltpu.VMEM((1, nh), jnp.float32),
+            pltpu.VMEM((1, E), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (t + t_pad) * E,
+            bytes_accessed=y.size * y.dtype.itemsize + b * E * 4,
+            transcendentals=b * (t + t_pad) * nh,
+        ),
+        interpret=interpret,
+    )(y, logits_masked)
+
+
+@functools.partial(jax.jit, static_argnames=("e", "nh", "t_block", "interpret"))
+def _pool_bwd_call(y, logits_masked, m, s, g_flat, inner, *, e, nh, t_block,
+                   interpret=False):
+    """-> (dx [b,t,E] y.dtype, dl [b,t,nh] f32)."""
+    b, t, E = y.shape
+    y_p, l_p, nt, t_pad = _pad_inputs(y, logits_masked, t_block)
+    dx, dl = pl.pallas_call(
+        functools.partial(_pool_bwd_kernel, e=e, nh=nh),
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, t_block, E), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_block, nh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, t_block, E), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_block, nh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t + t_pad, E), y.dtype),
+            jax.ShapeDtypeStruct((b, t + t_pad, nh), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * (t + t_pad) * E,
+            bytes_accessed=2 * y.size * y.dtype.itemsize
+            + b * (t + t_pad) * nh * 4,
+            transcendentals=b * (t + t_pad) * nh,
+        ),
+        interpret=interpret,
+    )(y_p, l_p, m, s, g_flat, inner)
+    return dx[:, :t], dl[:, :t]
+
+
 @functools.partial(jax.jit, static_argnames=("e", "nh", "t_block"))
 def _pool_pallas(y: jnp.ndarray, logits_masked: jnp.ndarray, *, e: int, nh: int,
                  t_block: int) -> jnp.ndarray:
@@ -215,38 +349,77 @@ def masked_attention_pool(
 FusedPoolResidual = None  # (doc anchor) residuals = (xh, logits, mask)
 
 
+def _want_pallas(activation, use_pallas):
+    if use_pallas is None:
+        return activation == "softmax" and jax.default_backend() == "tpu"
+    return bool(use_pallas) and activation == "softmax"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_attention_pool(xh, logits, mask, activation="softmax",
                          use_pallas=None, t_block=512):
-    """Differentiable fused pooling: Pallas streaming forward (on TPU), exact
-    XLA backward. Same signature/semantics as masked_attention_pool, but safe
-    to use inside gradient-taking training code — enabling full-bag training
-    without materializing per-token softmax in the forward pass."""
+    """Differentiable fused pooling: Pallas streaming forward AND backward on
+    TPU (XLA fallback elsewhere). Same signature/semantics as
+    masked_attention_pool, but safe inside gradient-taking training code —
+    full-bag training without materializing the per-token softmax in HBM.
+
+    The forward saves the per-head softmax stats (running max m, denom s);
+    the backward recomputes the weights in one independent streaming pass per
+    t-block (inner[h] = <g, pooled>_e needs no re-reduction over t)."""
     return masked_attention_pool(xh, logits, mask, activation=activation,
                                  use_pallas=use_pallas, t_block=t_block)
 
 
+def _masked_l32(logits, mask, b, t):
+    l32 = logits.astype(jnp.float32)
+    m = _normalize_mask(mask, b, t)
+    if m is not None:
+        l32 = jnp.where(m[..., None], l32, NEG_INF)
+    return l32
+
+
 def _fused_pool_fwd(xh, logits, mask, activation, use_pallas, t_block):
+    b, t, nh, e = xh.shape
+    if _want_pallas(activation, use_pallas):
+        l32 = _masked_l32(logits, mask, b, t)
+        y = xh.reshape(b, t, nh * e)
+        tb = min(t_block, max(8, t))
+        out, ms, ss = _pool_pallas_ms(y, l32, e=e, nh=nh, t_block=tb)
+        return out.reshape(b, nh, e), (xh, logits, mask, ms, ss, out)
     out = masked_attention_pool(xh, logits, mask, activation=activation,
                                 use_pallas=use_pallas, t_block=t_block)
-    return out, (xh, logits, mask)
+    return out, (xh, logits, mask, None, None, None)
 
 
 def _fused_pool_bwd(activation, use_pallas, t_block, res, g):
     """Backward of pooled[b,h,e] = sum_t a[b,t,h] x[b,t,h,e], a = softmax(l):
       dx[t,h,e] = a[t,h] g[h,e]
-      dl[t,h]   = a[t,h] (da[t,h] - sum_t' a[t',h] da[t',h]),
-                  da[t,h] = sum_e g[h,e] x[t,h,e]
+      dl[t,h]   = a[t,h] (da[t,h] - inner[h]),  da[t,h] = sum_e g[h,e] x[t,h,e]
+      inner[h]  = sum_t a da = sum_e g[h,e] pooled[h,e]
     (softmax activation only — the training path always uses softmax)."""
+    xh, logits, mask, ms, ss, out = res
+    b, t, nh, e = xh.shape
+    g32 = g.astype(jnp.float32)                                 # [b, nh, e]
+
+    if ms is not None:
+        l32 = _masked_l32(logits, mask, b, t)
+        y = xh.reshape(b, t, nh * e)
+        tb = min(t_block, max(8, t))
+        g_flat = g32.reshape(b, 1, nh * e)
+        inner = jnp.sum(
+            g32 * out.reshape(b, nh, e).astype(jnp.float32), axis=-1
+        ).reshape(b, 1, nh)                                     # [b, 1, nh]
+        dx_flat, dl = _pool_bwd_call(y, l32, ms, ss, g_flat, inner,
+                                     e=e, nh=nh, t_block=tb)
+        return (dx_flat.reshape(b, t, nh, e),
+                dl.astype(logits.dtype), None)
+
     from madeleine_tpu.models.abmil import activate_attention
 
-    xh, logits, mask = res
-    b, t, nh, e = xh.shape
     m = _normalize_mask(mask, b, t)
     mm = None if m is None else m[..., None]
     a = activate_attention(logits.astype(jnp.float32), activation, mm,
                            axis=-2)                             # [b, t, nh]
-    g32 = g.astype(jnp.float32)
     dx = (a[..., None] * g32[:, None]).astype(xh.dtype)         # [b, t, nh, e]
     if activation == "softmax":
         da = jnp.einsum("bhe,bthe->bth", g32, xh.astype(jnp.float32),

@@ -110,3 +110,58 @@ def test_fused_pool_forward_equals_reference():
     want = masked_attention_pool(xh, lg, None, use_pallas=False)
     got = fused_attention_pool(xh, lg, None, "softmax", False, 512)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_pool_ms_stats_match_reference():
+    """_pool_pallas_ms emits (pooled, m, s) with softmax(l)=exp(l-m)/s."""
+    from madeleine_tpu.ops.attn_pool import NEG_INF, _pool_pallas_ms
+
+    rng = np.random.default_rng(5)
+    b, t, nh, e = 2, 100, 2, 64
+    y = jnp.asarray(rng.standard_normal((b, t, nh * e)).astype(np.float32))
+    l = jnp.asarray((rng.standard_normal((b, t, nh)) * 3).astype(np.float32))
+    mask = jnp.asarray(rng.random((b, t)) < 0.8)
+    l32 = jnp.where(mask[..., None], l, NEG_INF)
+    out, m, s = _pool_pallas_ms(y, l32, e=e, nh=nh, t_block=32,
+                                interpret=True)
+    a = np.exp(np.asarray(l32) - np.asarray(m)) / np.asarray(s)
+    a_ref = np.asarray(jax.nn.softmax(np.asarray(l32), axis=1))
+    np.testing.assert_allclose(a, a_ref, rtol=1e-5, atol=1e-7)
+    ref = masked_attention_pool(y.reshape(b, t, nh, e), l, mask,
+                                use_pallas=False)
+    np.testing.assert_allclose(np.asarray(out).reshape(b, nh, e),
+                               np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_pool_bwd_kernel_matches_xla_vjp():
+    """The streaming backward kernel == the XLA softmax-pool VJP."""
+    from madeleine_tpu.ops.attn_pool import (
+        NEG_INF, _pool_bwd_call, _pool_pallas_ms, fused_attention_pool)
+
+    rng = np.random.default_rng(6)
+    b, t, nh, e = 2, 90, 2, 64
+    xh = jnp.asarray(rng.standard_normal((b, t, nh, e)).astype(np.float32))
+    l = jnp.asarray((rng.standard_normal((b, t, nh)) * 2).astype(np.float32))
+    mask = jnp.asarray(rng.random((b, t)) < 0.75)
+    w = jnp.asarray(rng.standard_normal((b, nh, e)).astype(np.float32))
+
+    # XLA reference grads through the custom-vjp's fallback branch (CPU)
+    def loss(xh, l):
+        return jnp.sum(w * fused_attention_pool(xh, l, mask))
+
+    dx_ref, dl_ref = jax.grad(loss, argnums=(0, 1))(xh, l)
+
+    # kernel path (interpret mode)
+    y = xh.reshape(b, t, nh * e)
+    l32 = jnp.where(mask[..., None], l, NEG_INF)
+    out, m, s = _pool_pallas_ms(y, l32, e=e, nh=nh, t_block=32,
+                                interpret=True)
+    g32 = w.astype(jnp.float32)
+    inner = jnp.sum(g32 * np.asarray(out).reshape(b, nh, e), axis=-1
+                    ).reshape(b, 1, nh)
+    dx, dl = _pool_bwd_call(y, l32, m, s, g32.reshape(b, 1, nh * e), inner,
+                            e=e, nh=nh, t_block=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx).reshape(b, t, nh, e),
+                               np.asarray(dx_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dl), np.asarray(dl_ref),
+                               rtol=1e-4, atol=1e-5)
