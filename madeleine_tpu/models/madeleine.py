@@ -88,6 +88,21 @@ def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
                    precision=dot_precision(x.dtype)) + p["b"]
 
 
+def _linear_tokens(p: Params, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    """token_projector matmul. On the bf16 TPU train path, route through the
+    layout-pinned custom-VJP kernel (ops/linear_tok.py) so the backward's
+    dW = y^T·dtok doesn't drag the whole dxh cotangent sum into a transposed
+    layout (~38 ms/step of copies at canonical scale). Same contraction
+    numerics (f32 MXU accumulation); f32 operands keep the HIGHEST-precision
+    XLA path for checkpoint parity."""
+    if (train and x.ndim == 3 and x.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"):
+        from madeleine_tpu.ops.linear_tok import linear_tok_train
+
+        return linear_tok_train(x, p["w"], p["b"])
+    return _linear(p, x)
+
+
 def _append_stain_encoding(params, feats: jnp.ndarray, stain_idx) -> jnp.ndarray:
     """Concat the learned per-stain code to every patch feature
     (ref: Model.py:125-132,177-189). feats [..., t, d]; stain_idx scalar or [n]."""
@@ -148,8 +163,8 @@ def forward_train(
             pooled = pooled[:, None]              # [bs, 1, nh, e]
         nh, e = tokens.shape[-2], tokens.shape[-1]
         # token path (Model.py:138-140); projector rows bridge-permuted
-        tok_emb = _linear(params["token_projector"],
-                          tokens.reshape(bs, t, nh * e))
+        tok_emb = _linear_tokens(params["token_projector"],
+                                 tokens.reshape(bs, t, nh * e), train)
         # slide path (Model.py:143-146)
         slide_emb = _linear(params["projector"],
                             pooled.reshape(bs, pooled.shape[1], nh * e))
@@ -177,8 +192,8 @@ def forward_train(
         if n_views == 1:
             pooled = pooled[:, None]                  # [bs*n_mod, 1, nh, e]
         nh, e = tokens.shape[-2], tokens.shape[-1]
-        tok_emb = _linear(params["token_projector"],
-                          tokens.reshape(bs * n_mod, t, nh * e))
+        tok_emb = _linear_tokens(params["token_projector"],
+                                 tokens.reshape(bs * n_mod, t, nh * e), True)
         slide_emb = _linear(params["projector"],
                             pooled.reshape(bs * n_mod, pooled.shape[1],
                                            nh * e))

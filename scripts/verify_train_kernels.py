@@ -266,6 +266,38 @@ def check_ipot():
     print("ipot fused plan (values + grad vs XLA-through-loop): OK")
 
 
+def check_linear_tok():
+    from madeleine_tpu.ops.linear_tok import linear_tok_train
+
+    rng = np.random.default_rng(11)
+    bb, t, E, d_out = 4, 300, 2048, 128
+    y = jnp.asarray(rng.standard_normal((bb, t, E)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((E, d_out)) * 0.02, jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((d_out,)) * 0.02, jnp.bfloat16)
+    g = jnp.asarray(rng.standard_normal((bb, t, d_out)), jnp.float32)
+
+    def loss_k(y, w, b):
+        return jnp.sum(linear_tok_train(y, w, b).astype(jnp.float32) * g)
+
+    def loss_x(y, w, b):
+        # same semantics as models.madeleine._linear at bf16: f32 MXU
+        # accumulation, output rounded to the compute dtype
+        out = (jnp.dot(y, w, preferred_element_type=jnp.float32)
+               + b.astype(jnp.float32)).astype(y.dtype)
+        return jnp.sum(out.astype(jnp.float32) * g)
+
+    np.testing.assert_allclose(float(loss_k(y, w, b)), float(loss_x(y, w, b)),
+                               rtol=1e-3)
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(y, w, b)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(y, w, b)
+    for a, r, tol in zip(gk, gx, (2e-2, 2e-2, 2e-2)):
+        a32 = np.asarray(a, np.float32)
+        r32 = np.asarray(r, np.float32)
+        np.testing.assert_allclose(a32, r32, rtol=tol,
+                                   atol=tol * np.abs(r32).max())
+    print("linear_tok fwd+bwd vs XLA (bf16): OK")
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
     check_dropout()
@@ -273,4 +305,5 @@ if __name__ == "__main__":
     check_preattn()
     check_fused_pool_grads()
     check_ipot()
+    check_linear_tok()
     print("ALL OK")
