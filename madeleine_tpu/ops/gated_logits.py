@@ -130,23 +130,30 @@ def _bwd_kernel(seed_ref, y_ref, dl_ref, wa_ref, ba_ref, wb_ref, bb_ref,
         dza = dg * b * ma * (1.0 - a_pre * a_pre)         # [T, f]
         dzb = dg * a * mb * b_pre * (1.0 - b_pre)
 
+        # matmul operands in the COMPUTE dtype (f32 accumulate): at bf16 this
+        # matches the unfused XLA backward exactly (default matmul precision
+        # truncates f32 operands to bf16); f32 operands ran the MXU in its
+        # 4-6x slower f32 mode for most of the kernel's FLOPs.
+        cd = y.dtype
+        dza_c = dza.astype(cd)
+        dzb_c = dzb.astype(cd)
+
         # input grad: contract over f (no explicit transposes — Mosaic)
         dyh = jax.lax.dot_general(
-            dza, wa_ref[h], (((1,), (1,)), ((), ())),
+            dza_c, wa_ref[h], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
         dyh += jax.lax.dot_general(
-            dzb, wb_ref[h], (((1,), (1,)), ((), ())),
+            dzb_c, wb_ref[h], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
         dy_scratch[:, h * e:(h + 1) * e] = dyh
 
         # weight grads: contract over T
-        yh32 = yh.astype(jnp.float32)
         dwa_ref[h] += jax.lax.dot_general(
-            yh32, dza, (((0,), (0,)), ((), ())),
+            yh, dza_c, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
         dba_ref[h] += jnp.sum(dza, axis=0)
         dwb_ref[h] += jax.lax.dot_general(
-            yh32, dzb, (((0,), (0,)), ((), ())),
+            yh, dzb_c, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
         dbb_ref[h] += jnp.sum(dzb, axis=0)
 

@@ -118,11 +118,15 @@ def _layer_bwd(dout, hin32, res, mask, w_ref, s_ref, prec,
     # LN backward: dz = (du - mean(du) - u * mean(du*u)) * rstd
     dz = (du - jnp.mean(du, axis=-1, keepdims=True)
           - u * jnp.mean(du * u, axis=-1, keepdims=True)) * rstd
+    # weight grad in the COMPUTE dtype (f32 accumulate): at bf16 this is
+    # exactly what the unfused XLA backward does (default matmul precision
+    # truncates f32 operands to bf16); keeping the operands f32 here ran the
+    # MXU in its 4-6x slower f32 mode for a third of the kernel's FLOPs.
+    dzc = dz.astype(w_ref.dtype)
     dw_ref[...] += jax.lax.dot_general(
-        hin32, dz, (((0,), (0,)), ((), ())),
+        hin32.astype(w_ref.dtype), dzc, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
     db_ref[...] += jnp.sum(dz, axis=0)
-    dzc = dz.astype(w_ref.dtype)
     return jax.lax.dot_general(
         dzc, w_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
