@@ -172,6 +172,8 @@ def _encode_fused_call(x, mask_bias, pre, attn, *, e, nh, f, t_block,
             bytes_accessed=x.size * x.dtype.itemsize + b * E * 4,
             transcendentals=4 * b * (t + t_pad) * E,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, mask_bias, *pre, *attn)
 
