@@ -124,6 +124,9 @@ def bench_end_to_end(params, cfg) -> None:
             "value": round(sps, 2),
             "unit": "slides/sec/chip",
             "vs_baseline": round(sps / BASELINE_SLIDES_PER_SEC, 3),
+            "note": "axon tunnel host->device is ~35 MB/s, so this line "
+                    "measures the tunnel, not the system; production "
+                    "PCIe-fed throughput is bounded by line 1",
         }), flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
