@@ -178,6 +178,72 @@ def _bwd_call(C, g, *, beta, iters, interpret=False):
     )(C, g)
 
 
+def _gw_kernel(cs_ref, ct_ref, cst_ref, g_ref, *, beta: float, outer: int,
+               iters: int):
+    """Whole Gromov-Wasserstein gamma loop per problem in VMEM
+    (ref: loss.py:236-258): `outer` proximal updates of
+        C_gamma = Cst - 2 Cs @ gamma @ Ct^T;  gamma = IPOT(C_gamma)
+    with uniform marginals (gamma_0 = 1/(n m)). Forward-only: the caller
+    detaches gamma (ref: loss.py:248 .detach()), so no adjoint is needed."""
+    Cs = cs_ref[0].astype(jnp.float32)                 # [n, n]
+    Ct = ct_ref[0].astype(jnp.float32)                 # [m, m]
+    Cst = cst_ref[0].astype(jnp.float32)               # [n, m]
+    n, m = Cst.shape
+
+    def outer_body(_, gamma):
+        t1 = _dot(Cs, gamma, ((1,), (0,)))             # [n, m]
+        Cg = Cst - 2.0 * _dot(t1, Ct, ((1,), (1,)))    # Cs @ gamma @ Ct^T
+        A = jnp.exp(-Cg / beta)
+
+        def ib(_, carry):
+            T, sigma = carry
+            T1, s1, _, _ = _step(A, T, sigma, n, m)
+            return T1, s1
+
+        T0 = jnp.ones((n, m), jnp.float32)
+        s0 = jnp.full((1, m), 1.0 / m, jnp.float32)
+        T, _ = jax.lax.fori_loop(0, iters, ib, (T0, s0))
+        return T
+
+    gamma0 = jnp.full((n, m), 1.0 / (n * m), jnp.float32)
+    g_ref[0] = jax.lax.fori_loop(0, outer, outer_body, gamma0
+                                 ).astype(g_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("beta", "outer", "iters",
+                                             "interpret"))
+def gw_gamma_fused(Cs, Ct, Cst, beta=0.1, outer=5, iters=20,
+                   interpret=False):
+    """Converged GW transport plans for a batch of problems, one pallas_call.
+    Cs [b,n,n], Ct [b,m,m], Cst [b,n,m] -> gamma [b,n,m] f32.
+    NOT differentiable (callers stop_gradient gamma anyway)."""
+    b, n, m = Cst.shape
+    return pl.pallas_call(
+        functools.partial(_gw_kernel, beta=beta, outer=outer, iters=iters),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, m), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, m), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * outer * (2 * n * m * max(n, m)
+                                   + iters * 7 * n * m),
+            bytes_accessed=b * (n * n + m * m + 2 * n * m) * 4,
+            transcendentals=b * outer * n * m,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=interpret,
+    )(Cs, Ct, Cst)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def ipot_plan_fused(C: jnp.ndarray, beta: float = 0.5,
                     iterations: int = 50) -> jnp.ndarray:

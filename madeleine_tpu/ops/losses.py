@@ -188,6 +188,28 @@ def _plan(C: jnp.ndarray, beta: float, iterations: int) -> jnp.ndarray:
     return ipot_plan(C, beta=beta, iterations=iterations)
 
 
+def _gw_gamma(CsL, CtL, CstL, gamma0, beta: float, outer: int,
+              ot_iters: int) -> jnp.ndarray:
+    """The detached GW gamma loop (ref: loss.py:243-248). On TPU with
+    VMEM-sized problems the WHOLE loop (outer einsum chain + inner IPOT) runs
+    as one pallas_call per problem (ops/ipot.py::gw_gamma_fused — forward
+    only, gamma is detached by every caller); elsewhere it is the XLA
+    fori_loop over `_plan`. Inputs must already be stop_gradient'ed."""
+    n, m = CstL.shape[-2], CstL.shape[-1]
+    fits = n * n + m * m + 6 * n * m <= 2 * 1024 * 1024
+    if fits and jax.default_backend() == "tpu":
+        from madeleine_tpu.ops.ipot import gw_gamma_fused
+
+        return gw_gamma_fused(CsL, CtL, CstL, beta, outer, ot_iters)
+
+    def body(_, gamma):
+        C_gamma = CstL - 2.0 * jnp.einsum("bnk,bkl,bml->bnm", CsL, gamma, CtL,
+                                          precision=_HI)
+        return _plan(C_gamma, beta, ot_iters)
+
+    return jax.lax.fori_loop(0, outer, body, gamma0)
+
+
 def ipot_distance(C: jnp.ndarray, iterations: int = 50) -> jnp.ndarray:
     """Per-sample Wasserstein cost <C, T> (ref: loss.py:202-207 returns the
     negative; callers negate again — we return the positive cost directly)."""
@@ -224,13 +246,8 @@ def gw_distance(
     # iterations (residual-saving forward) even though every tangent is dead —
     # measured 2.8x of the whole GW grad. Identical value and gradient.
     CsL, CtL, CstL = map(jax.lax.stop_gradient, (Cs, Ct, Cst))
-
-    def body(_, gamma):
-        C_gamma = CstL - 2.0 * jnp.einsum("bnk,bkl,bml->bnm", CsL, gamma, CtL,
-                                          precision=_HI)
-        return _plan(C_gamma, lamda, ot_iterations)
-
-    gamma = jax.lax.fori_loop(0, iterations, body, gamma0)
+    gamma = _gw_gamma(CsL, CtL, CstL, gamma0, lamda, iterations,
+                      ot_iterations)
     gamma = jax.lax.stop_gradient(gamma)
     C_final = Cst - 2.0 * jnp.einsum("bnk,bkl,bml->bnm", Cs, gamma, Ct,
                                      precision=_HI)
@@ -349,13 +366,8 @@ def got_loss_multi(
     # gamma is detached below — stop the loop inputs too so the 5x20
     # iterations are never linearized (see gw_distance)
     CsL, CtL, CstL = map(jax.lax.stop_gradient, (Cs, Ct, Cst))
-
-    def body(_, gamma):
-        C_gamma = CstL - 2.0 * jnp.einsum("bnk,bkl,bml->bnm", CsL, gamma, CtL,
-                                          precision=_HI)
-        return _plan(C_gamma, 0.1, gw_ot_iterations)
-
-    gamma = jax.lax.fori_loop(0, gw_iterations, body, gamma)
+    gamma = _gw_gamma(CsL, CtL, CstL, gamma, 0.1, gw_iterations,
+                      gw_ot_iterations)
     gamma = jax.lax.stop_gradient(gamma)
     C_final = Cst - 2.0 * jnp.einsum("bnk,bkl,bml->bnm", Cs, gamma, Ct,
                                      precision=_HI)

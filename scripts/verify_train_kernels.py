@@ -266,6 +266,32 @@ def check_ipot():
     print("ipot fused plan (values + grad vs XLA-through-loop): OK")
 
 
+def check_gw_gamma():
+    from madeleine_tpu.ops.ipot import gw_gamma_fused
+    from madeleine_tpu.ops.losses import _threshold_relu, cosine_cost, ipot_plan
+
+    rng = np.random.default_rng(13)
+    b, n = 8, 256
+    x = jnp.asarray(rng.standard_normal((b, n, 64)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((b, n, 64)), jnp.float32)
+    Cs = _threshold_relu(cosine_cost(x, x), None)
+    Ct = _threshold_relu(cosine_cost(y, y), None)
+    p = jnp.full((b, n, 1), 1.0 / n, jnp.float32)
+    Cst = jnp.einsum("bnk,bko->bno", Cs ** 2, p) \
+        + jnp.einsum("bko,bmk->bom", p, Ct ** 2)
+    gamma0 = jnp.full((b, n, n), 1.0 / (n * n), jnp.float32)
+
+    def body(_, gamma):
+        Cg = Cst - 2.0 * jnp.einsum("bnk,bkl,bml->bnm", Cs, gamma, Ct,
+                                    precision=jax.lax.Precision.HIGHEST)
+        return ipot_plan(Cg, beta=0.1, iterations=20)
+
+    ref = np.asarray(jax.lax.fori_loop(0, 5, body, gamma0))
+    got = np.asarray(gw_gamma_fused(Cs, Ct, Cst, 0.1, 5, 20))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-7)
+    print("gw_gamma_fused vs XLA loop: OK")
+
+
 def check_linear_tok():
     from madeleine_tpu.ops.linear_tok import linear_tok_train
 
@@ -305,5 +331,6 @@ if __name__ == "__main__":
     check_preattn()
     check_fused_pool_grads()
     check_ipot()
+    check_gw_gamma()
     check_linear_tok()
     print("ALL OK")

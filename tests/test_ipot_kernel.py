@@ -56,3 +56,31 @@ def test_plan_router_falls_back_off_tpu():
         np.asarray(_plan(C, 0.5, 12)),
         np.asarray(ipot_plan(C, beta=0.5, iterations=12)),
         rtol=1e-6, atol=1e-8)
+
+
+def test_gw_gamma_fused_matches_xla_loop():
+    from madeleine_tpu.ops.ipot import gw_gamma_fused
+    from madeleine_tpu.ops.losses import _plan
+
+    rng = np.random.default_rng(9)
+    b, n = 3, 64
+    x = jnp.asarray(rng.standard_normal((b, n, 32)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((b, n, 32)), jnp.float32)
+    Cs = _threshold_relu(cosine_cost(x, x), None)
+    Ct = _threshold_relu(cosine_cost(y, y), None)
+    p = jnp.full((b, n, 1), 1.0 / n, jnp.float32)
+    cs2p = jnp.einsum("bnk,bko->bno", Cs ** 2, p)
+    qtct2 = jnp.einsum("bko,bmk->bom", p, Ct ** 2)
+    Cst = cs2p + qtct2
+    gamma0 = jnp.full((b, n, n), 1.0 / (n * n), jnp.float32)
+
+    def body(_, gamma):
+        Cg = Cst - 2.0 * jnp.einsum(
+            "bnk,bkl,bml->bnm", Cs, gamma, Ct,
+            precision=jax.lax.Precision.HIGHEST)
+        return _plan(Cg, 0.1, 20)
+
+    ref = jax.lax.fori_loop(0, 5, body, gamma0)
+    got = gw_gamma_fused(Cs, Ct, Cst, 0.1, 5, 20, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-7)
