@@ -97,3 +97,20 @@ def test_pretrain_cli_end_to_end(tmp_path):
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert "Resumed from" in r2.stdout
     assert "at epoch 2" in r2.stdout
+
+
+@pytest.mark.slow
+def test_pretrain_cli_joint_batch_mode(tmp_path):
+    """--no_modality_scan --no_remat drives the joint [bs*n_mod] embedder
+    path through the real entry point (the fast production config)."""
+    csv, feats, down = _make_cohort(tmp_path, n_cases=8)
+    r = _run_pretrain(tmp_path, csv, feats, down,
+                      extra=("--no_modality_scan", "--no_remat",
+                             "--max_epochs", "1"))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Done with training" in r.stdout
+    results_root = tmp_path / "results"
+    (run_dir,) = list(results_root.iterdir())
+    cfg = json.load(open(run_dir / "config.json"))
+    assert cfg["modality_scan"] == "False" or cfg["modality_scan"] is False
+    assert cfg["remat"] == "False" or cfg["remat"] is False
