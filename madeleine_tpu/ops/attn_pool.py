@@ -85,6 +85,25 @@ def _head_expand_matrix(e: int, nh: int) -> jnp.ndarray:
     return (col // e == row).astype(jnp.float32)
 
 
+def _tile_heads(v: jnp.ndarray, e: int) -> jnp.ndarray:
+    """[*, nh] -> [*, nh*e]: each head value repeated over its e-run.
+    Broadcast+concat on lanes (e is a 128-multiple) — exact, and much faster
+    in-kernel than the selection-matrix matmul it replaces: a [T, nh] x
+    [nh, E] dot pads its tiny output tile ~32x on the MXU."""
+    nh = v.shape[-1]
+    return jnp.concatenate(
+        [jnp.broadcast_to(v[..., h:h + 1], (*v.shape[:-1], e))
+         for h in range(nh)], axis=-1)
+
+
+def _head_sums(x: jnp.ndarray, e: int, nh: int) -> jnp.ndarray:
+    """[T, nh*e] -> [T, nh]: per-head segment rowsums (VPU reductions instead
+    of a tiny-output MXU contraction)."""
+    return jnp.concatenate(
+        [jnp.sum(x[:, h * e:(h + 1) * e], axis=1, keepdims=True)
+         for h in range(nh)], axis=1)
+
+
 def _pool_kernel(x_ref, l_ref, o_ref, m_acc, s_acc, w_acc, *, e: int, nh: int):
     """Grid = (b, num_t_blocks); t innermost so VMEM accumulators carry.
 
@@ -109,13 +128,8 @@ def _pool_kernel(x_ref, l_ref, o_ref, m_acc, s_acc, w_acc, *, e: int, nh: int):
     p = jnp.exp(l - m_new)                               # [T, nh]
 
     x = x_ref[0].astype(jnp.float32)                     # [T, E]
-    M = _head_expand_matrix(e, nh)                       # [nh, E]
-    # HIGHEST precision: default TPU matmul truncates f32 operands to bf16,
-    # which corrupts the softmax weights by ~1e-2 relative
-    p_e = jnp.dot(p, M, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)             # [T, E]
-    alpha_e = jnp.dot(alpha, M, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)         # [1, E]
+    p_e = _tile_heads(p, e)                              # [T, E] (exact)
+    alpha_e = _tile_heads(alpha, e)                      # [1, E]
 
     m_acc[...] = m_new
     s_acc[...] = s_acc[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
@@ -124,10 +138,7 @@ def _pool_kernel(x_ref, l_ref, o_ref, m_acc, s_acc, w_acc, *, e: int, nh: int):
     @pl.when(tb == pl.num_programs(1) - 1)
     def _finalize():
         s = jnp.maximum(s_acc[...], 1e-30)               # [1, nh]
-        s_e = jnp.dot(s, _head_expand_matrix(e, nh),
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-        o_ref[0] = (w_acc[...] / s_e).astype(o_ref.dtype)
+        o_ref[0] = (w_acc[...] / _tile_heads(s, e)).astype(o_ref.dtype)
 
 
 def _pool_ms_kernel(x_ref, l_ref, o_ref, m_ref, s_ref, m_acc, s_acc, w_acc,
@@ -157,13 +168,8 @@ def _pool_bwd_kernel(y_ref, l_ref, m_ref, s_ref, g_ref, inner_ref,
     l = l_ref[0].astype(jnp.float32)                     # [T, nh]
     a = jnp.exp(l - m_ref[0]) / s_ref[0]                 # [T, nh]
     g = g_ref[0]                                         # [1, E] f32
-    M = _head_expand_matrix(e, nh)                       # [nh, E]
-    hi = jax.lax.Precision.HIGHEST
-    a_e = jnp.dot(a, M, preferred_element_type=jnp.float32, precision=hi)
-    dx_ref[0] = (a_e * g).astype(dx_ref.dtype)
-    da = jax.lax.dot_general(y * g, M, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=hi)               # [T, nh]
+    dx_ref[0] = (_tile_heads(a, e) * g).astype(dx_ref.dtype)
+    da = _head_sums(y * g, e, nh)                        # [T, nh]
     dl_ref[0] = (a * (da - inner_ref[0])).astype(dl_ref.dtype)
 
 
