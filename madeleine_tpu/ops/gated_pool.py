@@ -84,10 +84,12 @@ def _gated_pool_kernel(x_ref, mb_ref, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref,
     alpha = jnp.exp(m_old - m_new)
     p = jnp.exp(l - m_new)                                # [T, nh]
 
-    M = _head_expand_matrix(e, nh)
-    p_e = jnp.dot(p, M, preferred_element_type=jnp.float32, precision=_HI)
-    alpha_e = jnp.dot(alpha, M, preferred_element_type=jnp.float32,
-                      precision=_HI)
+    # head tiling via lane broadcast+concat (exact; the selection-matrix dot
+    # pads its tiny output tile ~32x on the MXU — see ops/attn_pool.py)
+    from madeleine_tpu.ops.attn_pool import _tile_heads
+
+    p_e = _tile_heads(p, e)
+    alpha_e = _tile_heads(alpha, e)
 
     m_acc[...] = m_new
     s_acc[...] = s_acc[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
@@ -98,9 +100,7 @@ def _gated_pool_kernel(x_ref, mb_ref, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref,
     @pl.when(tb == pl.num_programs(1) - 1)
     def _finalize():
         s = jnp.maximum(s_acc[...], 1e-30)
-        s_e = jnp.dot(s, _head_expand_matrix(e, nh),
-                      preferred_element_type=jnp.float32, precision=_HI)
-        o_ref[0] = (w_acc[...] / s_e).astype(o_ref.dtype)
+        o_ref[0] = (w_acc[...] / _tile_heads(s, e)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
