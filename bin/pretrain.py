@@ -68,6 +68,13 @@ def main() -> None:
         native = "on" if glob.glob(os.path.join(cfg.data_root_dir or "",
                                                 "*.bag")) else "off"
     if native == "on":
+        # bf16 training: assemble batches directly in bfloat16 — half the
+        # batch bytes (memcpy from bf16 disk) and no host-side cast in the
+        # train loop; the batch is born in the transfer dtype
+        from madeleine_tpu.native.bagio import bf16_dtype
+
+        out_dtype = ("bfloat16" if cfg.precision == "bfloat16"
+                     and bf16_dtype() is not None else "float32")
         if cfg.n_subsamples == -1:
             from madeleine_tpu.native.dataset import NativeRaggedLoader
 
@@ -75,8 +82,9 @@ def main() -> None:
                 cfg.csv_fpath, cfg.data_root_dir, cfg.MODALITIES,
                 embedding_size=cfg.patch_embedding_dim,
                 batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed,
-                **mh_kw)
-            print("* Native .bag loader, full-bag (ragged) batches")
+                out_dtype=out_dtype, **mh_kw)
+            print("* Native .bag loader, full-bag (ragged) batches "
+                  f"({out_dtype} assembly)")
         else:
             from madeleine_tpu.native.dataset import NativeTrainLoader
 
@@ -84,8 +92,9 @@ def main() -> None:
                 cfg.csv_fpath, cfg.data_root_dir, cfg.MODALITIES,
                 embedding_size=cfg.patch_embedding_dim, sample=cfg.n_subsamples,
                 batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed,
-                per_case_seed=pc > 1, **mh_kw)
-            print("* Native .bag loader (C++ threaded assembler)")
+                per_case_seed=pc > 1, out_dtype=out_dtype, **mh_kw)
+            print(f"* Native .bag loader (C++ threaded assembler, "
+                  f"{out_dtype} assembly)")
         n_cases = len(loader.df)
     else:
         dataset = SlideDataset(

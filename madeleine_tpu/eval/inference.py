@@ -29,7 +29,9 @@ def _encode_jit(params, feats, mask, *, cfg: "HashableCfg", stain_idx: int):
     return mtm.encode(params, cfg.cfg, feats, stain_idx=stain_idx, mask=mask)
 
 
-_MESH_ENCODE_CACHE: dict = {}
+from madeleine_tpu.utils.cache import LruCache
+
+_MESH_ENCODE_CACHE = LruCache(maxsize=16)
 
 
 def _encode_sharded(params, feats, mask, *, cfg: "HashableCfg",
@@ -39,18 +41,19 @@ def _encode_sharded(params, feats, mask, *, cfg: "HashableCfg",
     gathered output)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    key = (cfg, stain_idx, mesh)
-    if key not in _MESH_ENCODE_CACHE:
+    def _build():
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        _MESH_ENCODE_CACHE[key] = jax.jit(
+        return jax.jit(
             lambda p, f, m: mtm.encode(p, cfg.cfg, f, stain_idx=stain_idx,
                                        mask=m),
             in_shardings=(repl, data, data), out_shardings=data)
+
+    fn = _MESH_ENCODE_CACHE.get_or_create((cfg, stain_idx, mesh), _build)
     data = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
     feats = jax.device_put(feats, data)
     mask = jax.device_put(mask, data)
-    return _MESH_ENCODE_CACHE[key](params, feats, mask)
+    return fn(params, feats, mask)
 
 
 class HashableCfg:

@@ -76,6 +76,32 @@ inline void copy_row(const Bag* bag, int64_t row, float* out) {
   }
 }
 
+inline uint16_t f32_to_bf16(float f) {
+  uint32_t bits;
+  std::memcpy(&bits, &f, sizeof(bits));
+  bits += 0x8000;  // same truncation rounding as the Python writer
+  return static_cast<uint16_t>(bits >> 16);
+}
+
+// Gather one row into a bf16 buffer. bf16-on-disk rows are a straight
+// 2-byte-per-element memcpy — HALF the batch bytes of the f32 path, and the
+// train loop's host-side bf16 cast (1.4 GB/step at canonical scale)
+// disappears entirely: the batch is born in the transfer dtype.
+inline void copy_row_bf16(const Bag* bag, int64_t row, uint16_t* out) {
+  if (row < 0 || row >= bag->n_rows) {
+    std::memset(out, 0, sizeof(uint16_t) * bag->n_cols);
+    return;
+  }
+  if (bag->dtype == kDtypeBf16) {
+    std::memcpy(out, bag->data + row * bag->n_cols * 2,
+                sizeof(uint16_t) * bag->n_cols);
+  } else {
+    const float* src = reinterpret_cast<const float*>(
+        bag->data + row * bag->n_cols * 4);
+    for (int64_t c = 0; c < bag->n_cols; ++c) out[c] = f32_to_bf16(src[c]);
+  }
+}
+
 // Minimal fixed thread pool shared by all assemble calls. Tasks are coarse
 // (one multi-MB row-gather each), so claims are mutex-guarded — trivially
 // race-free, and the lock cost is noise next to the memcpy work. One batch
@@ -262,6 +288,27 @@ void bag_assemble_batch(void** handles, int64_t n_tasks, const int64_t* indices,
       }
       const int64_t* idx = indices + k * t;
       for (int64_t i = 0; i < t; ++i) copy_row(bag, idx[i], dst + i * d);
+    });
+  }
+  GetPool(n_threads)->Run(tasks);
+}
+
+// bf16-output variant of bag_assemble_batch (out: uint16 bf16 bits).
+void bag_assemble_batch_bf16(void** handles, int64_t n_tasks,
+                             const int64_t* indices, int64_t t, int64_t d,
+                             uint16_t* out, int32_t n_threads) {
+  std::vector<std::function<void()>> tasks;
+  tasks.reserve(n_tasks);
+  for (int64_t k = 0; k < n_tasks; ++k) {
+    tasks.emplace_back([=] {
+      uint16_t* dst = out + k * t * d;
+      Bag* bag = static_cast<Bag*>(handles[k]);
+      if (bag == nullptr) {
+        std::memset(dst, 0, sizeof(uint16_t) * t * d);
+        return;
+      }
+      const int64_t* idx = indices + k * t;
+      for (int64_t i = 0; i < t; ++i) copy_row_bf16(bag, idx[i], dst + i * d);
     });
   }
   GetPool(n_threads)->Run(tasks);

@@ -75,6 +75,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_void_p), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32]
+        lib.bag_assemble_batch_bf16.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int32]
         lib.bag_read_all.argtypes = [ctypes.c_void_p,
                                      ctypes.POINTER(ctypes.c_float)]
         _lib = lib
@@ -207,21 +211,59 @@ class BagReader:
             pass
 
 
+def bf16_dtype():
+    """numpy bfloat16 dtype (ml_dtypes) or None when unavailable."""
+    try:
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    except ImportError:
+        return None
+
+
 def assemble_batch(
     readers: Sequence[Optional[BagReader]],
     indices: np.ndarray,       # [n_tasks, t] int64 (rows per reader)
     d: int,
     n_threads: int = 8,
     out: Optional[np.ndarray] = None,
+    dtype: str = "float32",
 ) -> np.ndarray:
     """Parallel gather: out[k] = readers[k].rows(indices[k]) (None -> zeros).
-    Returns [n_tasks, t, d] float32. The C++ pool runs without the GIL."""
+    Returns [n_tasks, t, d] in `dtype` (float32 | bfloat16). The C++ pool
+    runs without the GIL. bf16-on-disk -> bf16 out is a pure memcpy — half
+    the batch bytes, and the batch is born in the device-transfer dtype."""
     n_tasks, t = indices.shape
-    if out is None:
-        out = np.empty((n_tasks, t, d), np.float32)
     lib = get_lib()
     native_ok = lib is not None and all(
         r is None or r._handle is not None for r in readers)
+    if dtype == "bfloat16":
+        bf16 = bf16_dtype()
+        if bf16 is None:
+            raise RuntimeError("bfloat16 assembly needs ml_dtypes")
+        if out is None:
+            out = np.empty((n_tasks, t, d), bf16)
+        if native_ok:
+            handles = (ctypes.c_void_p * n_tasks)(
+                *[r._handle if r is not None else None for r in readers])
+            idx = np.ascontiguousarray(indices, np.int64)
+            lib.bag_assemble_batch_bf16(
+                handles, n_tasks,
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                t, d,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                n_threads)
+        else:
+            for k, r in enumerate(readers):
+                if r is None:
+                    out[k] = np.zeros((), bf16)
+                else:
+                    f32 = r.gather(indices[k]).view(np.uint32)
+                    out[k] = ((f32 + 0x8000) >> 16).astype(
+                        np.uint16).view(bf16)
+        return out
+    if out is None:
+        out = np.empty((n_tasks, t, d), np.float32)
     if native_ok:
         handles = (ctypes.c_void_p * n_tasks)(
             *[r._handle if r is not None else None for r in readers])

@@ -36,6 +36,7 @@ class NativeTrainLoader:
         per_case_seed: bool = False,
         process_index: int = 0,
         process_count: int = 1,
+        out_dtype: str = "float32",
     ):
         import pandas as pd
 
@@ -96,10 +97,22 @@ class NativeTrainLoader:
         # hold earlier batches without the producer overwriting them. One
         # shared buffer silently corrupted prefetched batches.
         self._buf_depth = max(2, buffer_depth)
+        # "bfloat16" halves the batch bytes (pure memcpy from bf16 disk) and
+        # hands the train loop its transfer dtype directly — no host cast
+        self.out_dtype = out_dtype
+        if out_dtype == "bfloat16":
+            from madeleine_tpu.native.bagio import bf16_dtype
+
+            np_dtype = bf16_dtype()
+            if np_dtype is None:
+                raise RuntimeError("out_dtype=bfloat16 needs ml_dtypes")
+        else:
+            np_dtype = np.float32
+        self._np_dtype = np_dtype
         local_bs = batch_size // process_count
         self._bufs = [
             np.empty((local_bs * len(self.modalities),
-                      max(self.sample, 1), self.d), np.float32)
+                      max(self.sample, 1), self.d), np_dtype)
             for _ in range(self._buf_depth)]
         self._buf_i = 0
 
@@ -156,7 +169,8 @@ class NativeTrainLoader:
                 for i in sel_l for m in range(n_mod)])
             feats = assemble_batch(readers, indices, self.d,
                                    n_threads=self.n_threads,
-                                   out=self._next_buf())
+                                   out=self._next_buf(),
+                                   dtype=self.out_dtype)
             labels = self.labels[sel_l].copy()
             labels[~mask_l] = 0.0
             yield {
@@ -185,14 +199,25 @@ class NativeRaggedLoader(NativeTrainLoader):
         kw.setdefault("sample", -1)
         super().__init__(*args, **kw)
         self.buckets = sorted(buckets)
-        self.max_tokens = max_tokens or self.buckets[-1]
+        # None = unbounded: buckets grow past the top so bags train whole;
+        # an explicit cap counts every capped bag (never silent)
+        self.max_tokens = max_tokens
+        self.truncation_count = 0
         self._bufs = []  # ragged batches allocate per call (bucket-sized)
 
     def _bucket_of(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
                 return b
-        return self.buckets[-1]
+        from madeleine_tpu.data.datasets import grow_bucket
+
+        return grow_bucket(n, self.buckets[-1])
+
+    def _cap(self, n: int) -> int:
+        if self.max_tokens is not None and n > self.max_tokens:
+            self.truncation_count += 1
+            return self.max_tokens
+        return n
 
     def __iter__(self) -> Iterator[Dict]:
         order = np.arange(len(self.df))
@@ -209,20 +234,22 @@ class NativeRaggedLoader(NativeTrainLoader):
                 sel = np.concatenate([sel, np.repeat(sel[:1], bs - n_valid)])
             # bucket from GLOBAL batch lengths (mmap headers, no row IO) so
             # every host pads to the same shape
-            glob_lengths = [0 if r is None else min(r.n_rows, self.max_tokens)
+            glob_lengths = [0 if r is None else self._cap(r.n_rows)
                             for i in sel for r in self.readers[i]]
             t = self._bucket_of(max(glob_lengths) if glob_lengths else 1)
             mask_g = np.arange(bs) < n_valid
             sel_l, mask_l = sel[loc], mask_g[loc]
             lbs = len(sel_l)
             readers = [self.readers[i][m] for i in sel_l for m in range(n_mod)]
+            cap_t = t if self.max_tokens is None else min(self.max_tokens, t)
             lengths = np.asarray(
-                [0 if r is None else min(r.n_rows, self.max_tokens)
+                [0 if r is None else min(r.n_rows, cap_t)
                  for r in readers], np.int64)
             idx = np.broadcast_to(np.arange(t, dtype=np.int64),
                                   (len(readers), t))
             feats = assemble_batch(readers, np.ascontiguousarray(idx), self.d,
-                                   n_threads=self.n_threads)
+                                   n_threads=self.n_threads,
+                                   dtype=self.out_dtype)
             token_mask = (np.arange(t)[None, :]
                           < lengths[:, None]).reshape(lbs, n_mod, t)
             labels = self.labels[sel_l].copy()

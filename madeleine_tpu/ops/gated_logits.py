@@ -45,7 +45,13 @@ DEFAULT_T_BLOCK = int(os.environ.get("MADELEINE_GATED_TBLOCK", "128"))
 
 def _branch_mask(base_seed, h: int, branch: int, shape, rate: float):
     """Inverted-dropout keep-scale matrix in f32, from the hardware PRNG.
-    Seeded per (block, head, branch) so fwd/bwd regenerate identical masks."""
+    Seeded per (block, head, branch) so fwd/bwd regenerate identical masks.
+
+    rate is static: at rate<=0 the PRNG is never touched, so the gate math
+    lowers in interpret mode on CPU (hardware PRNG has no interpret
+    lowering) — this puts the kernel's matmul/VJP path in the CPU suite."""
+    if rate <= 0.0:
+        return jnp.float32(1.0)
     pltpu.prng_seed(base_seed + 2 * h + branch)
     rows, n = shape
     if rows % 2 == 0:
@@ -284,6 +290,12 @@ def gated_logits_train(y: jnp.ndarray, attn, seed: jnp.ndarray,
     return _gl_fwd(y, attn, seed, rate, t_block)[0]
 
 
+def _interp() -> bool:
+    # off-TPU the kernel runs in interpret mode (only reachable at rate<=0,
+    # where the hardware PRNG is never touched) — CPU-suite coverage
+    return jax.default_backend() != "tpu"
+
+
 def _gl_fwd(y, attn, seed, rate, t_block):
     nh, e, f = attn["wa"].shape
     out = _fwd_call(
@@ -292,7 +304,7 @@ def _gl_fwd(y, attn, seed, rate, t_block):
         attn["wb"].astype(y.dtype), attn["bb"].astype(jnp.float32),
         attn["wc"].reshape(nh, f).astype(jnp.float32),
         attn["bc"].reshape(nh, 1).astype(jnp.float32),
-        e=e, nh=nh, f=f, rate=rate, t_block=t_block)
+        e=e, nh=nh, f=f, rate=rate, t_block=t_block, interpret=_interp())
     return out, (y, attn, seed)
 
 
@@ -305,7 +317,7 @@ def _gl_bwd(rate, t_block, res, g):
         attn["wb"].astype(y.dtype), attn["bb"].astype(jnp.float32),
         attn["wc"].reshape(nh, f).astype(jnp.float32),
         attn["bc"].reshape(nh, 1).astype(jnp.float32),
-        e=e, nh=nh, f=f, rate=rate, t_block=t_block)
+        e=e, nh=nh, f=f, rate=rate, t_block=t_block, interpret=_interp())
     dbc = jnp.sum(g, axis=(0, 1), dtype=jnp.float32)          # [nh]
     d_attn = {
         "wa": dwa.astype(attn["wa"].dtype),

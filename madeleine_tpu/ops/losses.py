@@ -254,6 +254,28 @@ def gw_distance(
     return jnp.sum(C_final * gamma, axis=(1, 2))          # trace(Cgamma^T gamma)
 
 
+def masked_subsample(x: jnp.ndarray, mask: jnp.ndarray, key,
+                     subsample: int) -> jnp.ndarray:
+    """Uniform WITHOUT-replacement draw of `subsample` tokens per sample from
+    its valid positions, via masked Gumbel top-k.
+
+    x: [b, n, d]; mask: [b, n] bool. A bag with >= subsample valid tokens
+    yields a uniform random subset (no duplicates); a shorter bag tiles a
+    random permutation of its valid tokens cyclically, so duplicates appear
+    only when unavoidable (matching the reference loader's pad-with-
+    replacement spirit, wsi_dataset.py:42-50, without the round-2 categorical
+    draw's duplicate tokens in short-but-sufficient bags). The reference's own
+    subsample (loss.py:281-284) indexes randperm(batch) into the token dim —
+    a documented bug we deliberately do not reproduce."""
+    g = jax.random.gumbel(key, mask.shape)                 # [b, n]
+    scores = jnp.where(mask, g, _NEG_INF)
+    _, idx = jax.lax.top_k(scores, subsample)              # [b, sub] valid-first
+    n_valid = jnp.sum(mask, axis=-1, keepdims=True)        # [b, 1]
+    pos = jnp.arange(subsample)[None, :]
+    idx = jnp.take_along_axis(idx, pos % jnp.maximum(n_valid, 1), axis=1)
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
 def got_loss(
     v: jnp.ndarray,                       # [b, n, d] e.g. HE token embeddings
     q: jnp.ndarray,                       # [b, n, d] IHC token embeddings
@@ -272,9 +294,9 @@ def got_loss(
 
     With `token_mask` (padded ragged bags — no reference equivalent, which
     always trains on fixed-length subsampled bags), the subsample draws each
-    side's per-sample indices from its OWN valid positions (with replacement;
-    GOT transports between token sets, so the sides need not share indices).
-    Requires `subsample`."""
+    side's per-sample indices from its OWN valid positions without
+    replacement (masked Gumbel top-k; GOT transports between token sets, so
+    the sides need not share indices). Requires `subsample`."""
     v = v.astype(jnp.float32)
     q = q.astype(jnp.float32)
 
@@ -284,15 +306,8 @@ def got_loss(
         mask_v, mask_q = (token_mask if isinstance(token_mask, (tuple, list))
                           else (token_mask, token_mask))
         rng_v, rng_q = jax.random.split(rng)
-
-        def _draw(x, m, key):
-            logits = jnp.where(m, 0.0, _NEG_INF)            # [b, n]
-            idx = jax.random.categorical(key, logits, axis=-1,
-                                         shape=(subsample, x.shape[0])).T
-            return jnp.take_along_axis(x, idx[..., None], axis=1)
-
-        v = _draw(v, mask_v, rng_v)
-        q = _draw(q, mask_q, rng_q)
+        v = masked_subsample(v, mask_v, rng_v, subsample)
+        q = masked_subsample(q, mask_q, rng_q, subsample)
     elif subsample is not None and subsample < v.shape[1]:
         if rng is None:
             raise ValueError("got_loss subsampling requires rng")

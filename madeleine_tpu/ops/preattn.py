@@ -41,7 +41,14 @@ _INV_SQRT_2PI = 0.3989422804014327
 
 def _layer_mask(base_seed, layer: int, shape, rate: float):
     """Inverted-dropout keep-scale in f32 (16-bit hardware-RNG thresholds;
-    seeded per (block, layer) so fwd/bwd regenerate identical masks)."""
+    seeded per (block, layer) so fwd/bwd regenerate identical masks).
+
+    rate is static: at rate<=0 the PRNG is never touched, so the whole
+    matmul/LN/GELU/VJP path lowers in interpret mode on CPU (the hardware
+    PRNG has no interpret lowering) — this is what puts the kernel math in
+    the recorded CPU suite."""
+    if rate <= 0.0:
+        return jnp.float32(1.0)
     pltpu.prng_seed(base_seed + layer)
     rows, n = shape
     if rows % 2 == 0:
@@ -295,9 +302,15 @@ def preattn_train(x: jnp.ndarray, pre, seed: jnp.ndarray,
     return _pa_fwd(x, pre, seed, rate, t_block)[0]
 
 
+def _interp() -> bool:
+    # off-TPU the kernel runs in interpret mode (only reachable at rate<=0,
+    # where the hardware PRNG is never touched) — CPU-suite coverage
+    return jax.default_backend() != "tpu"
+
+
 def _pa_fwd(x, pre, seed, rate, t_block):
     y = _fwd_call(x, seed, *_weight_args(pre, x.dtype),
-                  rate=rate, t_block=t_block)
+                  rate=rate, t_block=t_block, interpret=_interp())
     return y, (x, pre, seed)
 
 
@@ -305,7 +318,7 @@ def _pa_bwd(rate, t_block, res, g):
     x, pre, seed = res
     dx, grads = _bwd_call(x, g.astype(x.dtype), seed,
                           *_weight_args(pre, x.dtype),
-                          rate=rate, t_block=t_block)
+                          rate=rate, t_block=t_block, interpret=_interp())
     (dw1, db1, ds1, dt1, dw2, db2, ds2, dt2, dw3, db3, ds3, dt3) = grads
 
     def like(v, p):

@@ -84,7 +84,9 @@ def make_bag_parallel_encoder(cfg: MadeleineConfig, mesh,
     return jax.jit(fn)
 
 
-_ENCODER_CACHE: dict = {}
+from madeleine_tpu.utils.cache import LruCache
+
+_ENCODER_CACHE = LruCache(maxsize=16)
 
 
 def encode_bag_parallel(
@@ -103,6 +105,6 @@ def encode_bag_parallel(
     from madeleine_tpu.config import config_cache_key
 
     key = (config_cache_key(cfg), mesh, stain_idx)
-    if key not in _ENCODER_CACHE:
-        _ENCODER_CACHE[key] = make_bag_parallel_encoder(cfg, mesh, stain_idx)
-    return _ENCODER_CACHE[key](params, feats, mask)
+    fn = _ENCODER_CACHE.get_or_create(
+        key, lambda: make_bag_parallel_encoder(cfg, mesh, stain_idx))
+    return fn(params, feats, mask)

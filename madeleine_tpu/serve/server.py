@@ -71,7 +71,8 @@ class EmbeddingService:
 
         self._latencies: "deque[float]" = deque(maxlen=1000)
         self._stats_lock = threading.Lock()
-        self.counters = {"requests": 0, "batches": 0, "slides": 0}
+        self.counters = {"requests": 0, "batches": 0, "slides": 0,
+                         "bucket_growths": 0}
 
         from madeleine_tpu.models import madeleine as mtm
 
@@ -161,7 +162,14 @@ class EmbeddingService:
         for b in self.buckets:
             if n <= b:
                 return b
-        return self.buckets[-1]
+        # oversize bags run WHOLE in a grown pow2 bucket (the streaming pool
+        # is O(block) in VMEM); the first hit compiles a new executable and
+        # is counted in /stats as bucket_growths — never silently truncated
+        from madeleine_tpu.data.datasets import grow_bucket
+
+        with self._stats_lock:
+            self.counters["bucket_growths"] += 1
+        return grow_bucket(n, self.buckets[-1])
 
     def _loop(self) -> None:
         import jax.numpy as jnp
@@ -193,7 +201,7 @@ class EmbeddingService:
                     feats = np.zeros((bs, bucket, d), np.float32)
                     mask = np.zeros((bs, bucket), bool)
                     for i, p in enumerate(items):
-                        f = p.feats[:bucket]
+                        f = p.feats  # always fits: buckets grow, never cut
                         feats[i, :len(f)] = f
                         mask[i, :len(f)] = True
                     emb = np.asarray(self._encode(

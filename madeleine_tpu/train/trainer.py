@@ -88,13 +88,11 @@ def compute_losses(
         got_rngs = jax.random.split(rng, n_mod)
 
         def subsample_side(tokens, mask, key):
-            """tokens [bs, t, d] -> [bs, sub, d]; masked per-sample draw when
-            a token mask is given, else a shared random permutation."""
+            """tokens [bs, t, d] -> [bs, sub, d]; masked per-sample
+            without-replacement draw (Gumbel top-k, ops/losses.py) when a
+            token mask is given, else a shared random permutation."""
             if mask is not None:
-                logits = jnp.where(mask, 0.0, -1e30)
-                idx = jax.random.categorical(
-                    key, logits, axis=-1, shape=(sub, tokens.shape[0])).T
-                return jnp.take_along_axis(tokens, idx[..., None], axis=1)
+                return L.masked_subsample(tokens, mask, key, sub)
             idx = jax.random.permutation(key, t)[:sub]
             return jnp.take(tokens, idx, axis=1)
 

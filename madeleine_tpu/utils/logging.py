@@ -29,11 +29,21 @@ class MetricsLogger:
             try:
                 import wandb
 
-                run_id = str(uuid.uuid4())
+                # reuse a persisted run id so --resume continues the SAME
+                # wandb run (ref: setup_components.py:60-83 reads/writes
+                # wandbID.txt with resume="must")
+                id_path = os.path.join(results_dir, "wandbID.txt")
+                if os.path.exists(id_path):
+                    with open(id_path) as f:
+                        run_id = f.read().strip()
+                    resume = "allow"
+                else:
+                    run_id = str(uuid.uuid4())
+                    resume = None
                 self._wandb = wandb.init(project=project, name=run_name,
                                          id=run_id, config=config,
-                                         tags=tags or [])
-                with open(os.path.join(results_dir, "wandbID.txt"), "w") as f:
+                                         tags=tags or [], resume=resume)
+                with open(id_path, "w") as f:
                     f.write(run_id)   # ref: setup_components.py:80-82
             except ImportError:
                 print("* wandb not installed; logging to metrics.jsonl only")

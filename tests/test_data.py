@@ -148,16 +148,51 @@ def test_bucketed_loader_covers_all_slides(tmp_path):
     assert seen == {f"s{i}": n for i, n in enumerate(lengths)}
 
 
-def test_bucketed_loader_truncates_oversized(tmp_path):
+def test_bucketed_loader_grows_bucket_for_oversized(tmp_path):
+    """Bags beyond the top bucket run WHOLE in a grown pow2 bucket — never
+    silently truncated (ref eval runs bags uncapped, wsi_dataset.py:71-76)."""
     rng = np.random.default_rng(5)
     d = tmp_path / "bags"
     d.mkdir()
     bag_io.write_bag(str(d / "big.h5"),
                      rng.standard_normal((700, 4)).astype(np.float32))
+    bag_io.write_bag(str(d / "huge.h5"),
+                     rng.standard_normal((2100, 4)).astype(np.float32))
     loader = BucketedBagLoader(str(d), buckets=(256, 512), tokens_per_batch=4096)
-    (batch,) = list(loader)
-    assert batch["feats"].shape[1] == 512
-    assert batch["mask"][0].sum() == 512  # truncated to top bucket
+    batches = {int(b["mask"][0].sum()): b for b in loader}
+    assert set(batches) == {700, 2100}
+    assert batches[700]["feats"].shape[1] == 1024   # 512 doubled once
+    assert batches[2100]["feats"].shape[1] == 4096  # doubled to cover 2100
+
+
+def test_oversize_bag_encodes_whole_and_matches_unfused(tmp_path):
+    """End-to-end: a bag longer than the top default bucket (65,536) encodes
+    exactly, matching the direct full-length pool — zero dropped tokens."""
+    import jax
+    import jax.numpy as jnp
+    from madeleine_tpu.config import MadeleineConfig
+    from madeleine_tpu.eval.inference import run_inference
+    from madeleine_tpu.models import madeleine as mtm
+    from madeleine_tpu.models.madeleine import init_madeleine_params
+
+    n = 65536 + 700
+    rng = np.random.default_rng(6)
+    d = tmp_path / "bags"
+    d.mkdir()
+    feats = rng.standard_normal((n, 8)).astype(np.float32)
+    bag_io.write_bag(str(d / "giant.h5"), feats)
+
+    cfg = MadeleineConfig(
+        patch_embedding_dim=8, wsi_encoder_hidden_dim=16,
+        attention_hidden_dim=16, n_heads=2, precision="float32",
+        dataset="__test__", MODALITIES=["HE"],
+    ).finalize()
+    params = init_madeleine_params(jax.random.PRNGKey(0), cfg)
+    loader = BucketedBagLoader(str(d))
+    out, _ = run_inference(params, cfg, loader, verbose=False)
+    assert out["slide_ids"] == ["giant"]
+    want = np.asarray(mtm.encode(params, cfg, jnp.asarray(feats)[None]))
+    np.testing.assert_allclose(out["embeds"], want, rtol=1e-5, atol=1e-5)
 
 
 def test_prefetcher_propagates_errors():

@@ -166,3 +166,36 @@ def test_got_loss_multi_matches_individual():
                                   sample_mask=jnp.asarray(mask[s])))
         np.testing.assert_allclose(multi[s], single, rtol=1e-4, atol=1e-4,
                                    err_msg=f"stain {s}")
+
+
+def test_masked_subsample_without_replacement():
+    """A bag with exactly `subsample` valid tokens must yield a permutation of
+    them (no duplicates, no padding); >subsample valid -> distinct subset;
+    <subsample valid -> only valid tokens, duplicates only from cyclic tiling."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from madeleine_tpu.ops import losses as L
+
+    b, n, sub = 3, 32, 8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, n, 1)), jnp.float32)
+    mask = np.zeros((b, n), bool)
+    mask[0, :sub] = True          # exactly sub valid
+    mask[1, :] = True             # plenty valid
+    mask[2, :3] = True            # fewer than sub valid
+    out = np.asarray(L.masked_subsample(
+        x, jnp.asarray(mask), jax.random.PRNGKey(7), sub))[..., 0]
+
+    vals0 = np.asarray(x[0, :sub, 0])
+    assert sorted(out[0].tolist()) == sorted(vals0.tolist())  # permutation
+
+    vals1 = set(np.asarray(x[1, :, 0]).tolist())
+    assert len(set(out[1].tolist())) == sub                    # distinct
+    assert set(out[1].tolist()) <= vals1
+
+    vals2 = np.asarray(x[2, :3, 0])
+    assert set(out[2].tolist()) <= set(vals2.tolist())         # valid only
+    # cyclic tiling: each valid token appears ceil/floor(sub/3) times
+    counts = [out[2].tolist().count(v) for v in set(out[2].tolist())]
+    assert max(counts) - min(counts) <= 1

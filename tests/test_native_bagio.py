@@ -254,3 +254,40 @@ def test_native_ragged_loader(tmp_path, native_lib):
                 assert b["token_mask"][j, m_idx].sum() == min(n, t)
     assert seen == 5
     loader.close()
+
+
+def test_assemble_batch_bf16_output(tmp_path):
+    """bf16 assembly: bf16-disk -> bf16 out is a pure memcpy; f32-disk rows
+    round the same way as the writer. Missing readers zero-fill."""
+    import numpy as np
+    import pytest
+
+    from madeleine_tpu.native import bagio
+
+    bf16 = bagio.bf16_dtype()
+    if bf16 is None:
+        pytest.skip("ml_dtypes unavailable")
+    rng = np.random.default_rng(0)
+    d = 8
+    f_bf = rng.standard_normal((20, d)).astype(np.float32)
+    f_f32 = rng.standard_normal((12, d)).astype(np.float32)
+    p1 = str(tmp_path / "a.bag")
+    p2 = str(tmp_path / "b.bag")
+    bagio.write_bag_file(p1, f_bf, dtype="bfloat16")
+    bagio.write_bag_file(p2, f_f32, dtype="float32")
+    r1, r2 = bagio.BagReader(p1), bagio.BagReader(p2)
+
+    idx = np.stack([np.arange(5), np.arange(5) + 2, np.zeros(5, np.int64)])
+    out = bagio.assemble_batch([r1, r2, None], idx.astype(np.int64), d,
+                               dtype="bfloat16")
+    assert out.dtype == bf16
+    # bf16 disk -> bf16 out: bit-exact vs the numpy reader
+    want1 = bagio._read_bag_numpy(p1)[0][:5]
+    np.testing.assert_array_equal(np.asarray(out[0], np.float32), want1)
+    # f32 disk -> bf16 out: same truncation rounding as the writer
+    u32 = f_f32[2:7].view(np.uint32)
+    want2 = (((u32 + 0x8000) >> 16).astype(np.uint16).astype(np.uint32)
+             << 16).view(np.float32)
+    np.testing.assert_array_equal(np.asarray(out[1], np.float32), want2)
+    np.testing.assert_array_equal(np.asarray(out[2], np.float32), 0.0)
+    r1.close(); r2.close()
