@@ -142,6 +142,27 @@ def forward_train(
     else:
         drop_rng, view_rng = None, (rng if rng is not None else jax.random.PRNGKey(0))
 
+    def _use_fused_encoder(drop_key) -> bool:
+        """Route through the whole-encoder train kernel (ops/encoder_train.py):
+        pre-attn MLP + gates + pool + token projector in ONE fwd and ONE bwd
+        Pallas call — the [*, t, hidden*nh] features and their three summed
+        cotangents never touch HBM."""
+        import os as _os
+
+        return (train and drop_key is not None and n_views == 1
+                and cfg.activation == "softmax" and use_pallas is not False
+                and jax.default_backend() == "tpu"
+                and not _os.environ.get("MADELEINE_NO_FUSED_ENCODER"))
+
+    def _fused_tail(x, mask_m, drop_key):
+        from madeleine_tpu.ops.encoder_train import encoder_train
+
+        seed = jax.random.randint(drop_key, (), 0,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        return encoder_train(x, params["wsi_embedders"]["pre_attn"],
+                             params["wsi_embedders"]["attn"],
+                             params["token_projector"], mask_m, seed)
+
     def _per_modality(feats_m, mask_m, mod_idx, drop_key):
         """One modality's [bs, t, d] bags -> (slide [bs, nv, e], tokens
         [bs, t, 128]). Tokens are projected to 128-d HERE so the full
@@ -153,6 +174,12 @@ def forward_train(
             # (Model.py:122), misassigning encodings whenever bs != 1; its eval
             # path (Model.py:186) is correct. We use the correct per-stain id.
             x = _append_stain_encoding(params, x, mod_idx)
+        if _use_fused_encoder(drop_key):
+            pooled, tok_emb = _fused_tail(x, mask_m, drop_key)
+            nh, e = pooled.shape[-2], pooled.shape[-1]
+            slide_emb = _linear(params["projector"],
+                                pooled.reshape(bs, 1, nh * e))
+            return slide_emb, tok_emb
         pooled, tokens = abmil_embed(
             params["wsi_embedders"], x,
             n_heads=cfg.n_heads, activation=cfg.activation, mask=mask_m,
@@ -183,6 +210,13 @@ def forward_train(
             # scan path's deviation note)
             x = _append_stain_encoding(params, x,
                                        jnp.tile(jnp.arange(n_mod), bs))
+        if _use_fused_encoder(drop_rng):
+            pooled, tok_emb = _fused_tail(x, mask_f, drop_rng)
+            nh, e = pooled.shape[-2], pooled.shape[-1]
+            slide_emb = _linear(params["projector"],
+                                pooled.reshape(bs * n_mod, 1, nh * e))
+            return (slide_emb.reshape(bs, n_mod, *slide_emb.shape[1:]),
+                    tok_emb.reshape(bs, n_mod, t, tok_emb.shape[-1]))
         pooled, tokens = abmil_embed(
             params["wsi_embedders"], x,
             n_heads=cfg.n_heads, activation=cfg.activation, mask=mask_f,

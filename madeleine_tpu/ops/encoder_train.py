@@ -1,0 +1,506 @@
+"""Whole-encoder TRAINING op — one Pallas kernel for fwd, one for bwd.
+
+Replaces the round-2 chain of four custom-VJP ops (ops/preattn.py ->
+ops/gated_logits.py -> ops/attn_pool.fused_attention_pool ->
+ops/linear_tok.py) for the canonical n_views=1 softmax training path
+(ref semantics: Model.py:110-146 + Model.py:350-417 + abmil.py:34-63).
+
+Why fuse across the op boundaries too:
+  * the [b, t, hidden*nh] pre-attention features `y` (~2.7 GB bf16 at
+    canonical scale) previously hit HBM four times in forward (write + three
+    consumer reads) and three more in backward; here y lives ONLY in VMEM —
+    forward HBM traffic collapses to x in, (tok, logits, pooled) out;
+  * the three dy cotangents (pool + gates + token projector) were summed by
+    XLA in two extra [b, t, E] passes (~15 ms/step); the backward kernel
+    accumulates them in registers and runs the pre-attn backward in the same
+    block visit, so the summed cotangent never exists in memory;
+  * per-block, the gate matmuls and LN/GELU backward VPU chains of DIFFERENT
+    stages interleave in one instruction stream instead of serializing at
+    kernel boundaries.
+
+Dropout draws 16-bit hardware-RNG thresholds in-kernel, re-seeded per
+(block, layer/branch) so forward and backward regenerate identical masks
+(ops/dropout.py rationale). Residuals: (x, params, seed, masked logits
+[b,t,nh] f32 ~10 MB, softmax stats m/s, pooled) — no activation tensors.
+
+At rate=(0,0) the PRNG is never touched, so the full math lowers in
+interpret mode on CPU (recorded-suite coverage, tests/test_encoder_train.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from madeleine_tpu.ops.attn_pool import NEG_INF, _head_sums, _normalize_mask, _tile_heads
+from madeleine_tpu.ops.gated_logits import _branch_mask, _gates
+from madeleine_tpu.ops.preattn import _layer_bwd, _layer_fwd, _layer_mask
+
+PRE_RATE = 0.1    # ref: Model.py:354,358,362
+GATE_RATE = 0.25  # ref: abmil.py:34-35
+DEFAULT_T_BLOCK = int(os.environ.get("MADELEINE_ENCODER_TBLOCK", "256"))
+
+
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _block_seed(seed_ref, nh: int):
+    blk = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    return seed_ref[0] + blk * (3 + 2 * nh)
+
+
+def _recompute_stack(x, seed_ref, w_refs, pre_rate, nh):
+    """Pre-attn MLP with in-kernel dropout; returns (h1, h2, y32, residuals,
+    masks, prec, base_seed)."""
+    (w1, b1, s1, t1, w2, b2, s2, t2, w3, b3, s3, t3) = w_refs
+    dt = x.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32 else None)
+    base = _block_seed(seed_ref, nh)
+    m1 = _layer_mask(base, 0, (x.shape[0], w1.shape[-1]), pre_rate)
+    h1, r1 = _layer_fwd(x, w1, b1, s1, t1, m1, prec)
+    m2 = _layer_mask(base, 1, (x.shape[0], w2.shape[-1]), pre_rate)
+    h2, r2 = _layer_fwd(h1.astype(dt), w2, b2, s2, t2, m2, prec)
+    m3 = _layer_mask(base, 2, (x.shape[0], w3.shape[-1]), pre_rate)
+    y32, r3 = _layer_fwd(h2.astype(dt), w3, b3, s3, t3, m3, prec)
+    return h1, h2, y32, (r1, r2, r3), (m1, m2, m3), prec, base
+
+
+def _gate_logits_block(y, mb, wa, ba, wb, bb, wc, bc, base_gate, gate_rate,
+                       nh, e, prec):
+    """Masked logits [T, nh] (f32) with in-kernel gate dropout."""
+    cols = []
+    for h in range(nh):
+        yh = y[:, h * e:(h + 1) * e]
+        a_pre, b_pre = _gates(yh, wa[h], ba[h], wb[h], bb[h], prec)
+        a = a_pre * _branch_mask(base_gate, h, 0, a_pre.shape, gate_rate)
+        b = b_pre * _branch_mask(base_gate, h, 1, b_pre.shape, gate_rate)
+        g = a * b
+        cols.append(jnp.sum(g * wc[h][None, :], axis=1, keepdims=True)
+                    + bc[h][0])
+    return jnp.concatenate(cols, axis=1) + mb
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(seed_ref, x_ref, mb_ref,
+                w1_ref, b1_ref, s1_ref, t1_ref,
+                w2_ref, b2_ref, s2_ref, t2_ref,
+                w3_ref, b3_ref, s3_ref, t3_ref,
+                wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
+                wt_ref, bt_ref,
+                pooled_ref, m_ref, s_ref, tok_ref, l_ref,
+                m_acc, s_acc, w_acc,
+                *, e: int, nh: int, pre_rate: float, gate_rate: float):
+    tb = pl.program_id(1)
+
+    @pl.when(tb == 0)
+    def _init():
+        m_acc[...] = jnp.full_like(m_acc, NEG_INF)
+        s_acc[...] = jnp.zeros_like(s_acc)
+        w_acc[...] = jnp.zeros_like(w_acc)
+
+    x = x_ref[0]
+    dt = x.dtype
+    w_refs = (w1_ref[...], b1_ref[...], s1_ref[...], t1_ref[...],
+              w2_ref[...], b2_ref[...], s2_ref[...], t2_ref[...],
+              w3_ref[...], b3_ref[...], s3_ref[...], t3_ref[...])
+    _, _, y32, _, _, prec, base = _recompute_stack(x, seed_ref, w_refs,
+                                                   pre_rate, nh)
+    y = y32.astype(dt)
+
+    # token projector (ref: Model.py:138-140)
+    tok_ref[0] = (jax.lax.dot_general(
+        y, wt_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+        + bt_ref[...]).astype(tok_ref.dtype)
+
+    # gated logits (ref: abmil.py:41-52) with masked bias added
+    l = _gate_logits_block(y, mb_ref[0].astype(jnp.float32),
+                           wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
+                           base + 3, gate_rate, nh, e, prec)
+    l_ref[0] = l
+
+    # online-softmax pooling over y (ref: Model.py:406-417)
+    m_old = m_acc[...]
+    m_new = jnp.maximum(m_old, jnp.max(l, axis=0, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.exp(l - m_new)
+    m_acc[...] = m_new
+    s_acc[...] = s_acc[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
+    w_acc[...] = (w_acc[...] * _tile_heads(alpha, e)
+                  + jnp.sum(y32 * _tile_heads(p, e), axis=0, keepdims=True))
+
+    @pl.when(tb == pl.num_programs(1) - 1)
+    def _finalize():
+        s = jnp.maximum(s_acc[...], 1e-30)
+        pooled_ref[0] = w_acc[...] / _tile_heads(s, e)
+        m_ref[0] = m_acc[...]
+        s_ref[0] = s
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(seed_ref, x_ref, l_ref, dtok_ref, g_ref, inner_ref,
+                m_ref, s_ref,
+                w1_ref, b1_ref, s1_ref, t1_ref,
+                w2_ref, b2_ref, s2_ref, t2_ref,
+                w3_ref, b3_ref, s3_ref, t3_ref,
+                wa_ref, ba_ref, wb_ref, bb_ref, wc_ref,
+                wt_ref,
+                dx_ref, dl_ref,
+                dw1_ref, db1_ref, ds1_ref, dt1_ref,
+                dw2_ref, db2_ref, ds2_ref, dt2_ref,
+                dw3_ref, db3_ref, ds3_ref, dt3_ref,
+                dwa_ref, dba_ref, dwb_ref, dbb_ref, dwc_ref,
+                dwt_ref, dbt_ref,
+                dy_scratch,
+                *, e: int, nh: int, pre_rate: float, gate_rate: float):
+    is_first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(is_first)
+    def _init():
+        for r in (dw1_ref, db1_ref, ds1_ref, dt1_ref,
+                  dw2_ref, db2_ref, ds2_ref, dt2_ref,
+                  dw3_ref, db3_ref, ds3_ref, dt3_ref,
+                  dwa_ref, dba_ref, dwb_ref, dbb_ref, dwc_ref,
+                  dwt_ref, dbt_ref):
+            r[...] = jnp.zeros_like(r)
+
+    x = x_ref[0]
+    dt = x.dtype
+    w_refs = (w1_ref[...], b1_ref[...], s1_ref[...], t1_ref[...],
+              w2_ref[...], b2_ref[...], s2_ref[...], t2_ref[...],
+              w3_ref[...], b3_ref[...], s3_ref[...], t3_ref[...])
+    h1, h2, y32, (r1, r2, r3), (m1, m2, m3), prec, base = _recompute_stack(
+        x, seed_ref, w_refs, pre_rate, nh)
+    y = y32.astype(dt)
+
+    g = g_ref[0]                                            # [1, E] f32
+    # pool backward (softmax VJP off saved (m, s); ops/attn_pool.py math)
+    p = jnp.exp(l_ref[0] - m_ref[0]) / s_ref[0]             # [T, nh]
+    dy_scratch[...] = _tile_heads(p, e) * g                 # pool dx term
+    dl = p * (_head_sums(y32 * g, e, nh) - inner_ref[0])    # [T, nh]
+    dl_ref[0] = dl
+
+    # token projector backward
+    dtok = dtok_ref[0]                                      # [T, d_out]
+    dy_scratch[...] += jax.lax.dot_general(
+        dtok, wt_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    dwt_ref[...] += jax.lax.dot_general(
+        y, dtok, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    dbt_ref[...] += jnp.sum(dtok.astype(jnp.float32), axis=0)
+
+    # gate backward (ops/gated_logits.py math, dl from the pool VJP)
+    base_gate = base + 3
+    for h in range(nh):
+        yh = y[:, h * e:(h + 1) * e]
+        a_pre, b_pre = _gates(yh, wa_ref[h], ba_ref[h], wb_ref[h], bb_ref[h],
+                              prec)
+        ma = _branch_mask(base_gate, h, 0, a_pre.shape, gate_rate)
+        mb = _branch_mask(base_gate, h, 1, b_pre.shape, gate_rate)
+        a = a_pre * ma
+        b = b_pre * mb
+        dl_h = dl[:, h:h + 1]
+        dwc_ref[h] += jnp.sum((a * b) * dl_h, axis=0)
+        dg = dl_h * wc_ref[h][None, :]
+        dza = dg * b * ma * (1.0 - a_pre * a_pre)
+        dzb = dg * a * mb * b_pre * (1.0 - b_pre)
+        dza_c = dza.astype(dt)
+        dzb_c = dzb.astype(dt)
+        dyh = jax.lax.dot_general(
+            dza_c, wa_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dyh += jax.lax.dot_general(
+            dzb_c, wb_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dy_scratch[:, h * e:(h + 1) * e] += dyh
+        dwa_ref[h] += jax.lax.dot_general(
+            yh, dza_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dba_ref[h] += jnp.sum(dza, axis=0)
+        dwb_ref[h] += jax.lax.dot_general(
+            yh, dzb_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dbb_ref[h] += jnp.sum(dzb, axis=0)
+
+    # pre-attn MLP backward (ops/preattn.py math) on the summed cotangent
+    dy = dy_scratch[...]
+    dh2 = _layer_bwd(dy, h2, r3, m3, w3_ref, s3_ref, prec,
+                     dw3_ref, db3_ref, ds3_ref, dt3_ref)
+    dh1 = _layer_bwd(dh2, h1, r2, m2, w2_ref, s2_ref, prec,
+                     dw2_ref, db2_ref, ds2_ref, dt2_ref)
+    dx = _layer_bwd(dh1, x.astype(jnp.float32), r1, m1, w1_ref, s1_ref,
+                    prec, dw1_ref, db1_ref, ds1_ref, dt1_ref)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _pad_t(x, t_block, fill=0.0):
+    b, t, d = x.shape
+    nt = pl.cdiv(t, t_block)
+    t_pad = nt * t_block - t
+    if t_pad:
+        x = jnp.pad(x, ((0, 0), (0, t_pad), (0, 0)), constant_values=fill)
+    return x, nt, t_pad
+
+
+def _wspecs(shapes):
+    return [pl.BlockSpec(s, (lambda i, j, _n=len(s): (0,) * _n),
+                         memory_space=pltpu.VMEM) for s in shapes]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "e", "nh", "pre_rate", "gate_rate", "t_block", "interpret"))
+def _fwd_call(x, mask_bias, seed, wargs, *, e, nh, pre_rate, gate_rate,
+              t_block, interpret=False):
+    b, t, d_in = x.shape
+    E = e * nh
+    d_out = wargs[-2].shape[1]
+    x_p, nt, t_pad = _pad_t(x, t_block)
+    mb_p, _, _ = _pad_t(mask_bias, t_block, fill=NEG_INF)
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, e=e, nh=nh, pre_rate=pre_rate,
+                          gate_rate=gate_rate),
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, t_block, d_in), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_block, nh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            *_wspecs([w.shape for w in wargs]),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, E), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_block, d_out), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_block, nh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, E), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, nh), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, nh), jnp.float32),
+            jax.ShapeDtypeStruct((b, t + t_pad, d_out), x.dtype),
+            jax.ShapeDtypeStruct((b, t + t_pad, nh), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, nh), jnp.float32),
+            pltpu.VMEM((1, nh), jnp.float32),
+            pltpu.VMEM((1, E), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (t + t_pad)
+            * (d_in * wargs[0].shape[1] + wargs[4].shape[0] * wargs[4].shape[1]
+               + wargs[8].shape[0] * E + 2 * E * wargs[14].shape[-1]
+               + E * d_out + E),
+            bytes_accessed=x.size * x.dtype.itemsize
+            + b * (t + t_pad) * (d_out * x.dtype.itemsize + nh * 4),
+            transcendentals=5 * b * (t + t_pad) * E,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(seed.reshape(1), x_p, mb_p, *wargs)
+    pooled, m, s, tok, l = outs
+    return pooled, m, s, tok[:, :t], l
+
+
+# ---------------------------------------------------------------------------
+# Public custom-VJP op
+# ---------------------------------------------------------------------------
+
+def _weight_args(pre, attn, tokp, dt):
+    f32 = jnp.float32
+    nh, e, f = attn["wa"].shape
+    return (
+        pre["fc1"]["w"].astype(dt), pre["fc1"]["b"].astype(f32),
+        pre["ln1"]["scale"].astype(f32), pre["ln1"]["bias"].astype(f32),
+        pre["fc2"]["w"].astype(dt), pre["fc2"]["b"].astype(f32),
+        pre["ln2"]["scale"].astype(f32), pre["ln2"]["bias"].astype(f32),
+        pre["fc3"]["w"].astype(dt), pre["fc3"]["b"].astype(f32),
+        pre["ln3"]["scale"].astype(f32), pre["ln3"]["bias"].astype(f32),
+        attn["wa"].astype(dt), attn["ba"].astype(f32),
+        attn["wb"].astype(dt), attn["bb"].astype(f32),
+        attn["wc"].reshape(nh, f).astype(f32),
+        attn["bc"].reshape(nh, 1).astype(f32),
+        tokp["w"].astype(dt), tokp["b"].astype(f32),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def encoder_train(x: jnp.ndarray, pre, attn, tokp,
+                  mask: Optional[jnp.ndarray], seed: jnp.ndarray,
+                  pre_rate: float = PRE_RATE,
+                  gate_rate: float = GATE_RATE,
+                  t_block: int = DEFAULT_T_BLOCK):
+    """Fused training-mode encoder.
+
+    x: [b, t, d_in]; pre/attn: abmil subtrees; tokp: token_projector {w, b};
+    mask: [b, t] bool or None; seed: int32 scalar.
+    Returns (pooled [b, nh, e] in x.dtype, tok [b, t, d_out] in x.dtype).
+    """
+    (pooled, tok), _ = _enc_fwd(x, pre, attn, tokp, mask, seed,
+                                pre_rate, gate_rate, t_block)
+    return pooled, tok
+
+
+def _mask_bias(mask, b, t, nh):
+    m = _normalize_mask(mask, b, t)
+    if m is None:
+        return jnp.zeros((b, t, nh), jnp.float32)
+    return jnp.broadcast_to(
+        jnp.where(m[..., None], 0.0, NEG_INF), (b, t, nh)).astype(jnp.float32)
+
+
+def _enc_fwd(x, pre, attn, tokp, mask, seed, pre_rate, gate_rate, t_block):
+    b, t, _ = x.shape
+    nh, e, f = attn["wa"].shape
+    wargs = _weight_args(pre, attn, tokp, x.dtype)
+    pooled32, m, s, tok, l = _fwd_call(
+        x, _mask_bias(mask, b, t, nh), seed, wargs,
+        e=e, nh=nh, pre_rate=pre_rate, gate_rate=gate_rate,
+        t_block=t_block, interpret=_interp())
+    pooled = pooled32.reshape(b, nh, e).astype(x.dtype)
+    res = (x, pre, attn, tokp, seed, l, m, s, pooled32)
+    return (pooled, tok), res
+
+
+def _enc_bwd(pre_rate, gate_rate, t_block, res, cots):
+    x, pre, attn, tokp, seed, l, m, s, pooled32 = res
+    dpooled, dtok = cots
+    b, t, _ = x.shape
+    nh, e, f = attn["wa"].shape
+    E = nh * e
+    wargs = _weight_args(pre, attn, tokp, x.dtype)
+    # drop the gate bias + tok bias entries not needed by the bwd kernel:
+    # bwd takes (pre 12, wa, ba, wb, bb, wc [no bc], wt [no bt])
+    wargs_bwd = wargs[:16] + (wargs[16], wargs[18])
+    g_flat = dpooled.astype(jnp.float32).reshape(b, 1, E)
+    inner = jnp.sum(
+        g_flat.reshape(b, nh, e) * pooled32.reshape(b, nh, e),
+        axis=-1).reshape(b, 1, nh)
+    outs = _bwd_dispatch(
+        x, l, dtok.astype(x.dtype), g_flat, inner, m, s, seed, wargs_bwd,
+        e=e, nh=nh, d_out=tokp["w"].shape[1],
+        pre_rate=pre_rate, gate_rate=gate_rate, t_block=t_block)
+    (dx, dl, dw1, db1, ds1, dt1, dw2, db2, ds2, dt2, dw3, db3, ds3, dt3,
+     dwa, dba, dwb, dbb, dwc, dwt, dbt) = outs
+
+    def like(v, p):
+        return v.astype(p.dtype)
+
+    d_pre = {
+        "fc1": {"w": like(dw1, pre["fc1"]["w"]), "b": like(db1, pre["fc1"]["b"])},
+        "ln1": {"scale": like(ds1, pre["ln1"]["scale"]),
+                "bias": like(dt1, pre["ln1"]["bias"])},
+        "fc2": {"w": like(dw2, pre["fc2"]["w"]), "b": like(db2, pre["fc2"]["b"])},
+        "ln2": {"scale": like(ds2, pre["ln2"]["scale"]),
+                "bias": like(dt2, pre["ln2"]["bias"])},
+        "fc3": {"w": like(dw3, pre["fc3"]["w"]), "b": like(db3, pre["fc3"]["b"])},
+        "ln3": {"scale": like(ds3, pre["ln3"]["scale"]),
+                "bias": like(dt3, pre["ln3"]["bias"])},
+    }
+    dbc = jnp.sum(dl, axis=(0, 1), dtype=jnp.float32)       # [nh]
+    d_attn = {
+        "wa": like(dwa, attn["wa"]), "ba": like(dba, attn["ba"]),
+        "wb": like(dwb, attn["wb"]), "bb": like(dbb, attn["bb"]),
+        "wc": like(dwc.reshape(attn["wc"].shape), attn["wc"]),
+        "bc": like(dbc.reshape(attn["bc"].shape), attn["bc"]),
+    }
+    d_tokp = {"w": like(dwt, tokp["w"]), "b": like(dbt, tokp["b"])}
+    return dx, d_pre, d_attn, d_tokp, None, None
+
+
+encoder_train.defvjp(_enc_fwd, _enc_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "e", "nh", "d_out", "pre_rate", "gate_rate", "t_block"))
+def _bwd_dispatch(x, l, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
+                  e, nh, d_out, pre_rate, gate_rate, t_block):
+    b, t, d_in = x.shape
+    E = e * nh
+    h = wargs_bwd[0].shape[1]
+    f = wargs_bwd[12].shape[-1]
+    x_p, nt, t_pad = _pad_t(x, t_block)
+    l_p, _, _ = _pad_t(l, t_block, fill=NEG_INF)
+    dtok_p, _, _ = _pad_t(dtok, t_block)
+    f32 = jnp.float32
+    grad_shapes = [
+        (d_in, h), (h,), (h,), (h,),
+        (h, h), (h,), (h,), (h,),
+        (h, E), (E,), (E,), (E,),
+        (nh, e, f), (nh, f), (nh, e, f), (nh, f), (nh, f),
+        (E, d_out), (d_out,),
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, e=e, nh=nh, pre_rate=pre_rate,
+                          gate_rate=gate_rate),
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, t_block, d_in), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_block, nh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_block, d_out), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *_wspecs([w.shape for w in wargs_bwd]),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, t_block, d_in), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_block, nh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            *_wspecs(grad_shapes),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t + t_pad, d_in), x.dtype),
+            jax.ShapeDtypeStruct((b, t + t_pad, nh), jnp.float32),
+            *[jax.ShapeDtypeStruct(sh, f32) for sh in grad_shapes],
+        ),
+        scratch_shapes=[pltpu.VMEM((t_block, E), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * (t + t_pad)
+            * (d_in * h + h * h + h * E + 2 * E * f + E * d_out),
+            bytes_accessed=2 * (x.size * x.dtype.itemsize
+                                + b * (t + t_pad)
+                                * d_out * x.dtype.itemsize),
+            transcendentals=7 * b * (t + t_pad) * E,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interp(),
+    )(seed.reshape(1), x_p, l_p, dtok_p, g_flat, inner, m, s, *wargs_bwd)
+    dx, dl = outs[0][:, :t], outs[1][:, :t]
+    return (dx, dl) + tuple(outs[2:])

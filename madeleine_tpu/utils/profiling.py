@@ -74,3 +74,31 @@ class StepTimer:
             "p95_s": float(np.percentile(arr, 95)),
             "total_s": float(arr.sum()),
         }
+
+
+def module_device_ms(profile_dir: str, module_substr: str = "step_fn"):
+    """Median DEVICE-side duration (ms) of a jitted module in a jax.profiler
+    Chrome-trace export under `profile_dir` — the tunnel-independent truth for
+    step time (the axon tunnel adds ~70 ms of round-trip to wall timings).
+    Returns None when no trace or no matching module exists."""
+    import glob
+    import gzip
+    import json as _json
+    import os as _os
+    import statistics
+
+    paths = sorted(glob.glob(_os.path.join(
+        profile_dir, "plugins", "profile", "*", "*.trace.json.gz")))
+    if not paths:
+        return None
+    with gzip.open(paths[-1]) as f:
+        tr = _json.load(f)
+    ev = tr["traceEvents"]
+    tids = {(e["pid"], e["tid"]): e["args"]["name"]
+            for e in ev if e.get("ph") == "M" and e.get("name") == "thread_name"}
+    durs = [e["dur"] for e in ev if e.get("ph") == "X"
+            and tids.get((e["pid"], e["tid"])) == "XLA Modules"
+            and module_substr in e["name"]]
+    if not durs:
+        return None
+    return statistics.median(durs) / 1e3

@@ -18,6 +18,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from madeleine_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 
 

@@ -1,0 +1,112 @@
+"""Fused whole-encoder training op (ops/encoder_train.py) vs the unfused
+composition — forward and full-gradient parity at rate=(0,0), which runs in
+interpret mode on CPU (the hardware-PRNG dropout is the only TPU-gated part;
+scripts/verify_train_kernels.py covers it on hardware).
+
+Ref semantics: Model.py:110-146 (token/slide paths), Model.py:350-417
+(pre-attn MLP + pooling), abmil.py:34-63 (gated logits).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+B, T, D, NH, E = 2, 96, 128, 2, 128
+DOUT = 64
+T_BLOCK = 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from madeleine_tpu.models.abmil import init_abmil_params
+    from madeleine_tpu.models.madeleine import _init_linear
+
+    params = init_abmil_params(jax.random.PRNGKey(1), D, E, NH, E)
+    tokp = _init_linear(jax.random.PRNGKey(2), E * NH, DOUT)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, T)) < 0.8)
+    return params, tokp, x, mask
+
+
+def _unfused(pre, attn, tokp, x, mask):
+    from madeleine_tpu.models.abmil import (
+        gated_attention_logits,
+        pre_attn_mlp,
+    )
+    from madeleine_tpu.ops.attn_pool import _pool_reference
+
+    b, t, _ = x.shape
+    y = pre_attn_mlp(pre, x, train=False)
+    xh = y.reshape(b, t, NH, E)
+    logits = gated_attention_logits(attn, xh, train=False)
+    pooled = _pool_reference(xh, logits, mask, "softmax")      # [b, nh, e]
+    tok = jnp.dot(y, tokp["w"], precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32).astype(x.dtype) \
+        + tokp["b"]
+    return pooled, tok
+
+
+@pytest.mark.parametrize("masked", [False, True], ids=["dense", "ragged"])
+def test_forward_matches_unfused(setup, masked):
+    from madeleine_tpu.ops.encoder_train import encoder_train
+
+    params, tokp, x, mask = setup
+    m = mask if masked else None
+    want_p, want_t = _unfused(params["pre_attn"], params["attn"], tokp, x, m)
+    got_p, got_t = encoder_train(x, params["pre_attn"], params["attn"], tokp,
+                                 m, jnp.int32(7), 0.0, 0.0, T_BLOCK)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("masked", [False, True], ids=["dense", "ragged"])
+def test_grads_match_unfused(setup, masked):
+    from madeleine_tpu.ops.encoder_train import encoder_train
+
+    params, tokp, x, mask = setup
+    m = mask if masked else None
+
+    def loss_f(x, pre, attn, tokp):
+        p, t = encoder_train(x, pre, attn, tokp, m, jnp.int32(7), 0.0, 0.0,
+                             T_BLOCK)
+        return jnp.sum(jnp.sin(p)) + jnp.sum(jnp.cos(t) * 0.01)
+
+    def loss_r(x, pre, attn, tokp):
+        p, t = _unfused(pre, attn, tokp, x, m)
+        return jnp.sum(jnp.sin(p)) + jnp.sum(jnp.cos(t) * 0.01)
+
+    args = (x, params["pre_attn"], params["attn"], tokp)
+    gf = jax.grad(loss_f, argnums=(0, 1, 2, 3))(*args)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(*args)
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(gf)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(gr)
+    assert len(flat_f) == len(flat_r)
+    for (path, vf), (_, vr) in zip(flat_f, flat_r):
+        scale = max(1.0, float(jnp.max(jnp.abs(vr))))
+        np.testing.assert_allclose(
+            np.asarray(vf), np.asarray(vr), rtol=2e-4, atol=2e-4 * scale,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_ragged_tail_padding(setup):
+    """t not a multiple of t_block: padded tail must not disturb pooling or
+    token outputs."""
+    from madeleine_tpu.ops.encoder_train import encoder_train
+
+    params, tokp, _, _ = setup
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 41, D)), jnp.float32)
+    want_p, want_t = _unfused(params["pre_attn"], params["attn"], tokp, x,
+                              None)
+    got_p, got_t = encoder_train(x, params["pre_attn"], params["attn"], tokp,
+                                 None, jnp.int32(5), 0.0, 0.0, T_BLOCK)
+    assert got_t.shape == want_t.shape
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=1e-5, atol=1e-5)
