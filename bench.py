@@ -211,10 +211,19 @@ def bench_native_loader() -> None:
         csv = os.path.join(tmp, "cohort.csv")
         pd.DataFrame(rows).to_csv(csv, index=False)
 
+        from madeleine_tpu.native.bagio import bf16_dtype
+
+        out_dtype = "bfloat16" if bf16_dtype() is not None else "float32"
         loader = NativeTrainLoader(csv, tmp, mods, embedding_size=d,
                                    sample=sample, batch_size=n_cases,
-                                   shuffle=False)
-        batches = list(loader)          # warmup (page cache, buffers)
+                                   shuffle=False, out_dtype=out_dtype)
+        # warmup: 3 full sweeps so every ring buffer is first-touched and the
+        # mmaps are faulted in (the first 1-2 sweeps run ~20x slower from
+        # cold buffers; timing them would measure the kernel's page zeroing)
+        batches = list(loader)
+        for _ in range(2):
+            for b in loader:
+                pass
         bytes_per_batch = batches[0]["feats"].nbytes
         t0 = time.perf_counter()
         n_rounds = 5
@@ -226,9 +235,11 @@ def bench_native_loader() -> None:
         print(json.dumps({
             "metric": "native_loader_assembly_bandwidth",
             "value": round(gbps, 2),
-            "unit": "GB/s (f32 batch bytes; bf16 on disk)",
+            "unit": f"GB/s ({out_dtype} batch bytes; bf16 on disk)",
             "vs_baseline": round(gbps / (1.36 / 0.43), 2),
-            "note": "baseline = round-2 measured 1.36 GB in 0.43 s",
+            "note": "baseline = round-2 measured 1.36 GB f32 in 0.43 s; "
+                    "the bf16 path is the production train feed (half "
+                    "the bytes, no host cast)",
         }), flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

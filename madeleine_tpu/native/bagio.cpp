@@ -53,6 +53,26 @@ struct Bag {
   const int64_t* coords = nullptr;
 };
 
+// Random-order row gathers over a cold mmap degrade to ~1k IOPS of 4 KB
+// page-ins (measured ~4 MB/s effective on virtio disk; MADV_WILLNEED alone
+// did not fix it). When the gather will touch most of the bag anyway, fault
+// the mapping in sequentially first — the kernel's sequential-fault
+// readahead streams the file at full disk bandwidth — then gather from RAM.
+inline void warm_bag_sequential(Bag* bag) {
+  madvise(bag->map, bag->map_size, MADV_SEQUENTIAL);
+  volatile uint8_t sink = 0;
+  const uint8_t* p = static_cast<const uint8_t*>(bag->map);
+  for (int64_t off = 0; off < bag->map_size; off += 4096) sink += p[off];
+  (void)sink;
+  madvise(bag->map, bag->map_size, MADV_NORMAL);
+}
+
+inline void prefetch_bag(Bag* bag, int64_t rows_needed) {
+  if (rows_needed * 4 >= bag->n_rows) warm_bag_sequential(bag);
+  // sparse gathers (<25% coverage) keep demand paging — reading the whole
+  // file would waste more IO than the random faults cost
+}
+
 inline float bf16_to_f32(uint16_t v) {
   uint32_t bits = static_cast<uint32_t>(v) << 16;
   float out;
@@ -69,10 +89,19 @@ inline void copy_row(const Bag* bag, int64_t row, float* out) {
   if (bag->dtype == kDtypeF32) {
     std::memcpy(out, bag->data + row * bag->n_cols * 4,
                 sizeof(float) * bag->n_cols);
-  } else {  // bf16
+  } else {  // bf16 -> f32: widen via u32 shift; the u32 stores go through
+    // memcpy-able temporaries in blocks so the loop vectorizes (the scalar
+    // per-element bf16_to_f32 call ran ~15x slower on this path)
     const uint16_t* src = reinterpret_cast<const uint16_t*>(
         bag->data + row * bag->n_cols * 2);
-    for (int64_t c = 0; c < bag->n_cols; ++c) out[c] = bf16_to_f32(src[c]);
+    int64_t c = 0;
+    uint32_t tmp[64];
+    for (; c + 64 <= bag->n_cols; c += 64) {
+      for (int k = 0; k < 64; ++k)
+        tmp[k] = static_cast<uint32_t>(src[c + k]) << 16;
+      std::memcpy(out + c, tmp, sizeof(tmp));
+    }
+    for (; c < bag->n_cols; ++c) out[c] = bf16_to_f32(src[c]);
   }
 }
 
@@ -286,6 +315,7 @@ void bag_assemble_batch(void** handles, int64_t n_tasks, const int64_t* indices,
         std::memset(dst, 0, sizeof(float) * t * d);
         return;
       }
+      prefetch_bag(bag, t);
       const int64_t* idx = indices + k * t;
       for (int64_t i = 0; i < t; ++i) copy_row(bag, idx[i], dst + i * d);
     });
@@ -307,6 +337,7 @@ void bag_assemble_batch_bf16(void** handles, int64_t n_tasks,
         std::memset(dst, 0, sizeof(uint16_t) * t * d);
         return;
       }
+      prefetch_bag(bag, t);
       const int64_t* idx = indices + k * t;
       for (int64_t i = 0; i < t; ++i) copy_row_bf16(bag, idx[i], dst + i * d);
     });
@@ -317,6 +348,7 @@ void bag_assemble_batch_bf16(void** handles, int64_t n_tasks,
 // Sequential whole-bag read (f32 out), for inference paths.
 void bag_read_all(void* h, float* out) {
   Bag* bag = static_cast<Bag*>(h);
+  warm_bag_sequential(bag);
   for (int64_t i = 0; i < bag->n_rows; ++i)
     copy_row(bag, i, out + i * bag->n_cols);
 }

@@ -243,6 +243,7 @@ def assemble_batch(
             raise RuntimeError("bfloat16 assembly needs ml_dtypes")
         if out is None:
             out = np.empty((n_tasks, t, d), bf16)
+            out.fill(0)  # single-thread first-touch (see float32 branch)
         if native_ok:
             handles = (ctypes.c_void_p * n_tasks)(
                 *[r._handle if r is not None else None for r in readers])
@@ -264,6 +265,12 @@ def assemble_batch(
         return out
     if out is None:
         out = np.empty((n_tasks, t, d), np.float32)
+        # Single-thread first-touch. NumPy madvises large buffers THP; 8 pool
+        # threads concurrently huge-faulting one FRESH VMA convoy on the mmap
+        # locks (measured ~36 s of kernel folio_zero_user for a 0.65 GB
+        # batch on a 1-vCPU host). One sequential fill warms the pages in
+        # ~0.15 s; reused ring buffers never pay it again.
+        out.fill(0)
     if native_ok:
         handles = (ctypes.c_void_p * n_tasks)(
             *[r._handle if r is not None else None for r in readers])

@@ -114,6 +114,8 @@ class NativeTrainLoader:
             np.empty((local_bs * len(self.modalities),
                       max(self.sample, 1), self.d), np_dtype)
             for _ in range(self._buf_depth)]
+        for b in self._bufs:
+            b.fill(0)  # single-thread first-touch (see bagio.assemble_batch)
         self._buf_i = 0
 
     def _next_buf(self) -> np.ndarray:
@@ -203,7 +205,12 @@ class NativeRaggedLoader(NativeTrainLoader):
         # an explicit cap counts every capped bag (never silent)
         self.max_tokens = max_tokens
         self.truncation_count = 0
-        self._bufs = []  # ragged batches allocate per call (bucket-sized)
+        # Flat reusable buffers carved per batch: buckets vary, so buffers
+        # are 1-D and grown to the largest need; a contiguous slice reshapes
+        # to any [n_tasks, t, d]. Reuse avoids the THP first-touch fault
+        # convoy a fresh buffer costs per batch (bagio.assemble_batch note).
+        self._flat_bufs: list = [None] * max(2, kw.get("buffer_depth", 4))
+        self._flat_i = 0
 
     def _bucket_of(self, n: int) -> int:
         for b in self.buckets:
@@ -218,6 +225,17 @@ class NativeRaggedLoader(NativeTrainLoader):
             self.truncation_count += 1
             return self.max_tokens
         return n
+
+    def _get_out(self, n_tasks: int, t: int) -> np.ndarray:
+        """Reusable [n_tasks, t, d] view carved from a flat ring buffer."""
+        need = n_tasks * t * self.d
+        buf = self._flat_bufs[self._flat_i]
+        if buf is None or buf.size < need:
+            buf = np.empty(need, self._np_dtype)
+            buf.fill(0)  # single-thread first-touch (bagio note)
+            self._flat_bufs[self._flat_i] = buf
+        self._flat_i = (self._flat_i + 1) % len(self._flat_bufs)
+        return buf[:need].reshape(n_tasks, t, self.d)
 
     def __iter__(self) -> Iterator[Dict]:
         order = np.arange(len(self.df))
@@ -249,7 +267,8 @@ class NativeRaggedLoader(NativeTrainLoader):
                                   (len(readers), t))
             feats = assemble_batch(readers, np.ascontiguousarray(idx), self.d,
                                    n_threads=self.n_threads,
-                                   dtype=self.out_dtype)
+                                   dtype=self.out_dtype,
+                                   out=self._get_out(len(readers), t))
             token_mask = (np.arange(t)[None, :]
                           < lengths[:, None]).reshape(lbs, n_mod, t)
             labels = self.labels[sel_l].copy()

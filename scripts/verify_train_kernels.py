@@ -324,6 +324,50 @@ def check_linear_tok():
     print("linear_tok fwd+bwd vs XLA (bf16): OK")
 
 
+
+def check_encoder_train():
+    """Whole-encoder op (ops/encoder_train.py), dropout ACTIVE: determinism,
+    rate-sensitivity, and fwd/bwd mask consistency via a directional FD along
+    the gate weight wc (the analytic grad uses the BACKWARD's regenerated
+    masks; the FD probes the FORWARD's — agreement pins the re-seeding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from madeleine_tpu.models.abmil import init_abmil_params
+    from madeleine_tpu.models.madeleine import _init_linear
+    from madeleine_tpu.ops.encoder_train import encoder_train
+
+    nh, e, d, t, b = 4, 512, 512, 512, 2
+    params = init_abmil_params(jax.random.PRNGKey(1), d, e, nh, e)
+    tokp = _init_linear(jax.random.PRNGKey(2), e * nh, 128)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    pre, attn = params["pre_attn"], params["attn"]
+
+    p1, t1 = encoder_train(x, pre, attn, tokp, None, jnp.int32(3))
+    p2, t2 = encoder_train(x, pre, attn, tokp, None, jnp.int32(3))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    p0, t0 = encoder_train(x, pre, attn, tokp, None, jnp.int32(3), 0.0, 0.0)
+    assert (np.asarray(t1) != np.asarray(t0)).mean() > 0.5, "dropout inactive?"
+
+    seed = jnp.int32(11)
+
+    def loss_wc(wc):
+        p, tk = encoder_train(x, pre, dict(attn, wc=wc), tokp, None, seed)
+        return jnp.sum(jnp.sin(p)) + jnp.sum(jnp.cos(tk) * 0.01)
+
+    dvec = jnp.asarray(rng.standard_normal(attn["wc"].shape), jnp.float32)
+    dvec = dvec / jnp.linalg.norm(dvec)
+    eps = 1e-3
+    fd = (float(loss_wc(attn["wc"] + eps * dvec))
+          - float(loss_wc(attn["wc"] - eps * dvec))) / (2 * eps)
+    an = float(jnp.vdot(jax.grad(loss_wc)(attn["wc"]), dvec))
+    assert abs(fd - an) / max(abs(fd), 1e-6) < 1e-2, (fd, an)
+    print("encoder_train dropout determinism + wc FD: OK")
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
     check_dropout()
@@ -333,4 +377,5 @@ if __name__ == "__main__":
     check_ipot()
     check_gw_gamma()
     check_linear_tok()
+    check_encoder_train()
     print("ALL OK")
