@@ -5,7 +5,9 @@ dropout sites of one canonical batch costing ~60% of the whole train step, and
 its boolean masks living in the autodiff residuals (>1.3 GB). This kernel:
 
 - draws bits from the TPU's hardware PRNG (`pltpu.prng_random_bits`), seeded
-  per (call, block) — orders of magnitude cheaper than threefry;
+  per (call, block) — orders of magnitude cheaper than threefry; threshold
+  masks come from the shared `ops/prng_mask.keep_mask` (8 bits/site when the
+  block shape allows — see that module for the exact-mean scale rule);
 - stores NOTHING for backward: the custom VJP re-seeds the same per-block
   streams and regenerates the identical mask to scale the cotangent (dropout
   is linear in x for a fixed mask).
@@ -27,26 +29,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _dropout_kernel(seed_ref, x_ref, o_ref, *, rate: float):
-    # distinct stream per grid block; identical re-seed in backward
+    # distinct stream per grid block; identical re-seed in backward.
+    # Threshold-bit generation is shared with the fused train kernels
+    # (ops/prng_mask.py): the PRNG is the bottleneck (~180 GB/s of bits), so
+    # the mask uses 8 bits/site when the block shape allows.
+    from madeleine_tpu.ops.prng_mask import keep_mask
+
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    rows, n = x_ref.shape
-    if rows % 2 == 0:
-        # 16 random bits per site: the PRNG is the bottleneck (~180 GB/s of
-        # bits), so halving bits-per-element halves kernel time; 2^-16 keep-
-        # probability granularity is far below any training-visible effect.
-        # Narrowing bitcast doubles the second-minor (sublane) dim: the
-        # uint32s of one sublane become two uint16 sublanes. The compare is
-        # widened to i32 (v5e has no native 16-bit vector compare).
-        bits32 = pltpu.prng_random_bits((rows // 2, n))
-        bits = pltpu.bitcast(bits32, jnp.uint16).astype(jnp.int32)
-        threshold = jnp.int32(min(int(rate * (1 << 16)), (1 << 16) - 1))
-    else:
-        bits = pltpu.bitcast(pltpu.prng_random_bits((rows, n)), jnp.uint32)
-        threshold = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
-    keep = bits >= threshold                      # P(keep) = 1 - rate
-    scale = jnp.asarray(1.0 / (1.0 - rate), x_ref.dtype)
-    o_ref[...] = jnp.where(keep, x_ref[...] * scale,
-                           jnp.zeros((), x_ref.dtype))
+    mask = keep_mask(x_ref.shape, rate)
+    o_ref[...] = (x_ref[...].astype(jnp.float32) * mask).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("rate", "block_rows"))

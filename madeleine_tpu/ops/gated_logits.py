@@ -49,21 +49,14 @@ def _branch_mask(base_seed, h: int, branch: int, shape, rate: float):
 
     rate is static: at rate<=0 the PRNG is never touched, so the gate math
     lowers in interpret mode on CPU (hardware PRNG has no interpret
-    lowering) — this puts the kernel's matmul/VJP path in the CPU suite."""
+    lowering) — this puts the kernel's matmul/VJP path in the CPU suite.
+    Threshold bits: ops/prng_mask.py (8-bit when the block shape allows)."""
     if rate <= 0.0:
         return jnp.float32(1.0)
+    from madeleine_tpu.ops.prng_mask import keep_mask
+
     pltpu.prng_seed(base_seed + 2 * h + branch)
-    rows, n = shape
-    if rows % 2 == 0:
-        # i32-widened compare: v5e has no native 16-bit vector compare
-        bits = pltpu.bitcast(pltpu.prng_random_bits((rows // 2, n)),
-                             jnp.uint16).astype(jnp.int32)
-        thr = jnp.int32(min(int(rate * (1 << 16)), (1 << 16) - 1))
-    else:
-        bits = pltpu.bitcast(pltpu.prng_random_bits((rows, n)), jnp.uint32)
-        thr = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
-    scale = jnp.float32(1.0 / (1.0 - rate))
-    return jnp.where(bits >= thr, scale, jnp.float32(0.0))
+    return keep_mask(shape, rate)
 
 
 def _block_seed(seed_ref, nh: int):

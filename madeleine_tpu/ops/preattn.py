@@ -46,20 +46,14 @@ def _layer_mask(base_seed, layer: int, shape, rate: float):
     rate is static: at rate<=0 the PRNG is never touched, so the whole
     matmul/LN/GELU/VJP path lowers in interpret mode on CPU (the hardware
     PRNG has no interpret lowering) — this is what puts the kernel math in
-    the recorded CPU suite."""
+    the recorded CPU suite. Threshold bits: ops/prng_mask.py (8-bit when the
+    block shape allows — the PRNG is the mask cost)."""
     if rate <= 0.0:
         return jnp.float32(1.0)
+    from madeleine_tpu.ops.prng_mask import keep_mask
+
     pltpu.prng_seed(base_seed + layer)
-    rows, n = shape
-    if rows % 2 == 0:
-        bits = pltpu.bitcast(pltpu.prng_random_bits((rows // 2, n)),
-                             jnp.uint16).astype(jnp.int32)
-        thr = jnp.int32(min(int(rate * (1 << 16)), (1 << 16) - 1))
-    else:
-        bits = pltpu.bitcast(pltpu.prng_random_bits((rows, n)), jnp.uint32)
-        thr = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
-    scale = jnp.float32(1.0 / (1.0 - rate))
-    return jnp.where(bits >= thr, scale, jnp.float32(0.0))
+    return keep_mask(shape, rate)
 
 
 def _block_seed(seed_ref):

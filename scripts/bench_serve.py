@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Serving load test: sustained mixed-length traffic through the
+EmbeddingService micro-batcher (round-2 NOTES backlog item).
+
+Drives the in-process service (the same object `bin/serve.py` wraps with
+HTTP) with many concurrent clients submitting bags of realistic mixed
+lengths, then reports sustained slides/s, latency percentiles, and the
+/stats counters (including bucket_growths — oversize bags run whole).
+
+Usage: python scripts/bench_serve.py [--clients 8] [--bags-per-client 40]
+"""
+
+import argparse
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from madeleine_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--bags-per-client", type=int, default=40)
+    ap.add_argument("--d", type=int, default=512)
+    ap.add_argument("--no-warmup", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg
+    from madeleine_tpu.models.madeleine import init_madeleine_params
+    from madeleine_tpu.serve.server import EmbeddingService
+
+    cfg = _flagship_cfg()
+    params = init_madeleine_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.bfloat16)
+    svc = EmbeddingService(params, cfg, buckets=(1024, 2048, 4096, 8192))
+    if not args.no_warmup:
+        t0 = time.time()
+        svc.warmup(verbose=False)
+        print(f"warmup: {time.time() - t0:.1f}s")
+
+    rng = np.random.default_rng(0)
+    # realistic WSI mix: mostly 1-4k patches, a tail of long bags, one
+    # oversize bag beyond the top bucket (exercises bucket growth)
+    def lengths(n):
+        ls = rng.integers(600, 4096, n).tolist()
+        ls[-1] = 9000 if n > 2 else ls[-1]
+        return ls
+
+    errs, done = [], []
+    lock = threading.Lock()
+
+    def client(cid):
+        try:
+            bags = [rng.standard_normal((n, args.d)).astype(np.float32)
+                    for n in lengths(args.bags_per_client)]
+            out = svc.encode_many(bags, timeout=600.0)
+            with lock:
+                done.append((cid, len(out)))
+        except Exception as e:  # pragma: no cover
+            with lock:
+                errs.append((cid, repr(e)))
+
+    t0 = time.time()
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(args.clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+
+    n_slides = sum(n for _, n in done)
+    stats = svc.stats()
+    print(f"clients={args.clients} slides={n_slides} wall={wall:.1f}s "
+          f"-> {n_slides / wall:.1f} slides/s sustained")
+    print(f"stats: {stats}")
+    if errs:
+        print(f"ERRORS: {errs}")
+        return 1
+    assert stats["slides"] >= n_slides
+    assert stats["bucket_growths"] >= 1, "oversize bag did not grow a bucket"
+    svc.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
