@@ -345,6 +345,52 @@ void bag_assemble_batch_bf16(void** handles, int64_t n_tasks,
   GetPool(n_threads)->Run(tasks);
 }
 
+// Deterministic subsample index generation for a batch of bags — the native
+// fast path behind NativeTrainLoader._batch_indices (the numpy draw cost
+// ~100 ms/batch at canonical scale; this is ~2 ms). Per bag k with
+// n = n_rows[k] rows: n == 0 -> zeros (missing stain), n >= t -> partial
+// Fisher-Yates without replacement, n < t -> with replacement
+// (ref semantics: madeleine/datasets/wsi_dataset.py:42-50). The stream is
+// splitmix64 seeded per bag from (seed, k), so output is a pure function of
+// (seed, bag position, n).
+static inline uint64_t splitmix64(uint64_t* s) {
+  uint64_t z = (*s += 0x9e3779b97f4a7c15ull);
+  z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
+  z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
+  return z ^ (z >> 31);
+}
+
+// Unbiased-enough bounded draw (Lemire multiply-shift; bias < 2^-40 for the
+// bag sizes involved — sampling noise, not a correctness surface).
+static inline uint64_t bounded(uint64_t* s, uint64_t range) {
+  return static_cast<uint64_t>(
+      (static_cast<unsigned __int128>(splitmix64(s)) * range) >> 64);
+}
+
+void bag_sample_indices(uint64_t seed, const int64_t* n_rows, int64_t n_bags,
+                        int64_t t, int64_t* out) {
+  std::vector<int64_t> scratch;
+  for (int64_t k = 0; k < n_bags; ++k) {
+    int64_t* dst = out + k * t;
+    const int64_t n = n_rows[k];
+    uint64_t s = seed ^ (0xd1342543de82ef95ull * static_cast<uint64_t>(k + 1));
+    if (n <= 0) {
+      std::memset(dst, 0, sizeof(int64_t) * t);
+    } else if (n < t) {  // with replacement
+      for (int64_t i = 0; i < t; ++i)
+        dst[i] = static_cast<int64_t>(bounded(&s, n));
+    } else {  // partial Fisher-Yates: first t entries of a permutation of n
+      scratch.resize(n);
+      for (int64_t i = 0; i < n; ++i) scratch[i] = i;
+      for (int64_t i = 0; i < t; ++i) {
+        int64_t j = i + static_cast<int64_t>(bounded(&s, n - i));
+        std::swap(scratch[i], scratch[j]);
+        dst[i] = scratch[i];
+      }
+    }
+  }
+}
+
 // Sequential whole-bag read (f32 out), for inference paths.
 void bag_read_all(void* h, float* out) {
   Bag* bag = static_cast<Bag*>(h);

@@ -81,6 +81,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint16), ctypes.c_int32]
         lib.bag_read_all.argtypes = [ctypes.c_void_p,
                                      ctypes.POINTER(ctypes.c_float)]
+        lib.bag_sample_indices.argtypes = [
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
         return _lib
 
@@ -284,4 +287,24 @@ def assemble_batch(
     else:
         for k, r in enumerate(readers):
             out[k] = 0.0 if r is None else r.gather(indices[k])
+    return out
+
+
+def sample_indices(seed: int, n_rows: np.ndarray, t: int) -> Optional[np.ndarray]:
+    """Native WOR/with-replacement subsample draw: [len(n_rows), t] int64.
+
+    Per bag: n == 0 -> zeros, n >= t -> partial Fisher-Yates without
+    replacement, n < t -> with replacement (ref: wsi_dataset.py:42-50).
+    Returns None when the native library is unavailable (caller falls back
+    to the numpy draw)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_rows = np.ascontiguousarray(n_rows, np.int64)
+    out = np.empty((len(n_rows), t), np.int64)
+    lib.bag_sample_indices(
+        ctypes.c_uint64(seed & (2**64 - 1)),
+        n_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(n_rows), t,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return out

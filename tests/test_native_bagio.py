@@ -291,3 +291,73 @@ def test_assemble_batch_bf16_output(tmp_path):
     np.testing.assert_array_equal(np.asarray(out[1], np.float32), want2)
     np.testing.assert_array_equal(np.asarray(out[2], np.float32), 0.0)
     r1.close(); r2.close()
+
+
+def test_batch_indices_vectorized_wor(tmp_path, native_lib):
+    """The vectorized subsample draw is without-replacement over valid rows
+    (a permutation subset) for long bags and with-replacement for short
+    ones — same distribution contract as SlideDataset.sample_n
+    (ref: wsi_dataset.py:42-50)."""
+    from madeleine_tpu.native.dataset import NativeTrainLoader
+
+    rng = np.random.default_rng(3)
+    mods = ["HE", "X"]
+    rows = []
+    sizes = {"c0": (40, 33), "c1": (16, 200), "c2": (32, None)}
+    for sid, (n_he, n_x) in sizes.items():
+        rows.append({"slide_id": sid, "HE": 1, "X": int(n_x is not None),
+                     "split": "train"})
+        for m, n in (("HE", n_he), ("X", n_x)):
+            if n is not None:
+                bagio.write_bag_file(
+                    str(tmp_path / f"{sid}_{m}.bag"),
+                    rng.standard_normal((n, 4)).astype(np.float32))
+    csv = str(tmp_path / "c.csv")
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    t = 32
+    ld = NativeTrainLoader(csv, str(tmp_path), mods, 4, t, batch_size=3,
+                           shuffle=False, seed=0)
+    idx = ld._batch_indices(np.arange(3))
+    n_rows = [40, 33, 16, 200, 32, 0]
+    assert idx.shape == (6, t)
+    for j, n in enumerate(n_rows):
+        if n == 0:
+            np.testing.assert_array_equal(idx[j], 0)  # missing stain
+        elif n >= t:
+            assert idx[j].min() >= 0 and idx[j].max() < n
+            assert len(np.unique(idx[j])) == t  # without replacement
+        else:
+            assert idx[j].min() >= 0 and idx[j].max() < n  # with replacement
+    # exactly-t bags draw a permutation of [0, t)
+    np.testing.assert_array_equal(np.sort(idx[4]), np.arange(t))
+    # deterministic under the loader's seeded rng
+    ld2 = NativeTrainLoader(csv, str(tmp_path), mods, 4, t, batch_size=3,
+                            shuffle=False, seed=0)
+    np.testing.assert_array_equal(idx, ld2._batch_indices(np.arange(3)))
+    ld.close(); ld2.close()
+
+
+def test_batch_indices_numpy_fallback_wor(tmp_path, native_lib, monkeypatch):
+    """The vectorized numpy fallback (no native lib) keeps the same WOR /
+    with-replacement contract as the native sampler."""
+    from madeleine_tpu.native import dataset as nd
+    from madeleine_tpu.native.dataset import NativeTrainLoader
+
+    rng = np.random.default_rng(4)
+    for sid, n in (("c0", 48), ("c1", 9)):
+        bagio.write_bag_file(str(tmp_path / f"{sid}_HE.bag"),
+                             rng.standard_normal((n, 4)).astype(np.float32))
+    csv = str(tmp_path / "c.csv")
+    pd.DataFrame([{"slide_id": "c0", "HE": 1, "split": "train"},
+                  {"slide_id": "c1", "HE": 1, "split": "train"}]
+                 ).to_csv(csv, index=False)
+    ld = NativeTrainLoader(csv, str(tmp_path), ["HE"], 4, 16, batch_size=2,
+                           shuffle=False, seed=1)
+    monkeypatch.setattr(
+        "madeleine_tpu.native.bagio.sample_indices", lambda *a: None)
+    idx = ld._batch_indices(np.arange(2))
+    assert idx.shape == (2, 16)
+    assert len(np.unique(idx[0])) == 16 and idx[0].max() < 48  # WOR
+    assert idx[1].max() < 9 and idx[1].min() >= 0  # with replacement
+    ld.close()
