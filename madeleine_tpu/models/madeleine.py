@@ -159,9 +159,12 @@ def forward_train(
 
         seed = jax.random.randint(drop_key, (), 0,
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        # dx (input-feature grad) is dead unless x carries the learned
+        # stain-encoding columns — skip its matmul + HBM write statically
         return encoder_train(x, params["wsi_embedders"]["pre_attn"],
                              params["wsi_embedders"]["attn"],
-                             params["token_projector"], mask_m, seed)
+                             params["token_projector"], mask_m, seed,
+                             need_dx=bool(cfg.add_stain_encoding))
 
     def _per_modality(feats_m, mask_m, mod_idx, drop_key):
         """One modality's [bs, t, d] bags -> (slide [bs, nv, e], tokens

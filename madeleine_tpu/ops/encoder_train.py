@@ -40,15 +40,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 from madeleine_tpu.ops.attn_pool import NEG_INF, _head_sums, _normalize_mask, _tile_heads
 from madeleine_tpu.ops.gated_logits import _branch_mask, _gates
-from madeleine_tpu.ops.preattn import _layer_bwd, _layer_fwd, _layer_mask
+from madeleine_tpu.ops.preattn import (
+    _gelu,
+    _layer_bwd,
+    _layer_fwd,
+    _layer_mask,
+)
 
 PRE_RATE = 0.1    # ref: Model.py:354,358,362
 GATE_RATE = 0.25  # ref: abmil.py:34-35
 DEFAULT_T_BLOCK = int(os.environ.get("MADELEINE_ENCODER_TBLOCK", "256"))
+# save_acts=None resolves to True when the saved-activation tensor fits this
+# budget (canonical scale: 9.55 GB at bs65 x 5 stains x 2048 tok — inside
+# the default). Saving (u1, u2, u3, rstd, a_pre, b_pre) lets the backward
+# skip the whole forward recompute — 3 MLP matmuls + 8 gate matmuls (~25 ms
+# MXU at canonical scale) and the LN/GELU/tanh/sigmoid chains — for HBM
+# traffic that pipelines under the remaining compute. Measured: device step
+# 193.2 -> 162.9 ms (encoder bwd 106.5 -> 75.3 ms, fwd +1 ms).
+# Kill: MADELEINE_ENCODER_NO_SAVE_ACTS=1 (or a smaller budget for long-bag
+# ragged training, where the saved tensor scales with total tokens).
+ACT_BUDGET_BYTES = int(os.environ.get(
+    "MADELEINE_ENCODER_ACT_BUDGET", str(10 * 1024**3)))
 
 
 def _interp() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _resolve_save_acts(save_acts, b, t, h, E, nhf2, itemsize) -> bool:
+    if os.environ.get("MADELEINE_ENCODER_NO_SAVE_ACTS"):
+        return False
+    if save_acts is not None:
+        return bool(save_acts)
+    saved = b * t * ((2 * h + E + nhf2) * itemsize + 3 * 4)
+    return saved <= ACT_BUDGET_BYTES
 
 
 def _block_seed(seed_ref, nh: int):
@@ -74,17 +99,20 @@ def _recompute_stack(x, seed_ref, w_refs, pre_rate, nh):
 
 def _gate_logits_block(y, mb, wa, ba, wb, bb, wc, bc, base_gate, gate_rate,
                        nh, e, prec):
-    """Masked logits [T, nh] (f32) with in-kernel gate dropout."""
-    cols = []
+    """Masked logits [T, nh] (f32) with in-kernel gate dropout. Also returns
+    the pre-dropout branch activations (for save_acts residuals)."""
+    cols, aps, bps = [], [], []
     for h in range(nh):
         yh = y[:, h * e:(h + 1) * e]
         a_pre, b_pre = _gates(yh, wa[h], ba[h], wb[h], bb[h], prec)
+        aps.append(a_pre)
+        bps.append(b_pre)
         a = a_pre * _branch_mask(base_gate, h, 0, a_pre.shape, gate_rate)
         b = b_pre * _branch_mask(base_gate, h, 1, b_pre.shape, gate_rate)
         g = a * b
         cols.append(jnp.sum(g * wc[h][None, :], axis=1, keepdims=True)
                     + bc[h][0])
-    return jnp.concatenate(cols, axis=1) + mb
+    return jnp.concatenate(cols, axis=1) + mb, aps, bps
 
 
 # ---------------------------------------------------------------------------
@@ -98,8 +126,13 @@ def _fwd_kernel(seed_ref, x_ref, mb_ref,
                 wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
                 wt_ref, bt_ref,
                 pooled_ref, m_ref, s_ref, tok_ref, l_ref,
-                m_acc, s_acc, w_acc,
-                *, e: int, nh: int, pre_rate: float, gate_rate: float):
+                *rest,
+                e: int, nh: int, pre_rate: float, gate_rate: float,
+                save_acts: bool = False):
+    if save_acts:  # extra outputs: packed activations + LN rstd stats
+        sv_ref, rstd_ref, m_acc, s_acc, w_acc = rest
+    else:
+        m_acc, s_acc, w_acc = rest
     tb = pl.program_id(1)
 
     @pl.when(tb == 0)
@@ -113,8 +146,8 @@ def _fwd_kernel(seed_ref, x_ref, mb_ref,
     w_refs = (w1_ref[...], b1_ref[...], s1_ref[...], t1_ref[...],
               w2_ref[...], b2_ref[...], s2_ref[...], t2_ref[...],
               w3_ref[...], b3_ref[...], s3_ref[...], t3_ref[...])
-    _, _, y32, _, _, prec, base = _recompute_stack(x, seed_ref, w_refs,
-                                                   pre_rate, nh)
+    _, _, y32, (r1, r2, r3), _, prec, base = _recompute_stack(
+        x, seed_ref, w_refs, pre_rate, nh)
     y = y32.astype(dt)
 
     # token projector (ref: Model.py:138-140)
@@ -124,10 +157,21 @@ def _fwd_kernel(seed_ref, x_ref, mb_ref,
         + bt_ref[...]).astype(tok_ref.dtype)
 
     # gated logits (ref: abmil.py:41-52) with masked bias added
-    l = _gate_logits_block(y, mb_ref[0].astype(jnp.float32),
-                           wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
-                           base + 3, gate_rate, nh, e, prec)
+    l, aps, bps = _gate_logits_block(
+        y, mb_ref[0].astype(jnp.float32),
+        wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
+        base + 3, gate_rate, nh, e, prec)
     l_ref[0] = l
+
+    if save_acts:
+        # columns: [u1 | u2 | u3 | a_pre (nh*f) | b_pre (nh*f)] — the bwd
+        # kernel reconstructs v = u*scale+bias and h = gelu(v)*mask
+        # elementwise, skipping every forward matmul
+        sv_ref[0] = jnp.concatenate(
+            [r1[0].astype(dt), r2[0].astype(dt), r3[0].astype(dt)]
+            + [a.astype(dt) for a in aps] + [b.astype(dt) for b in bps],
+            axis=1)
+        rstd_ref[0] = jnp.concatenate([r1[1], r2[1], r3[1]], axis=1)
 
     # online-softmax pooling over y (ref: Model.py:406-417)
     m_old = m_acc[...]
@@ -152,20 +196,24 @@ def _fwd_kernel(seed_ref, x_ref, mb_ref,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(seed_ref, x_ref, l_ref, dtok_ref, g_ref, inner_ref,
-                m_ref, s_ref,
-                w1_ref, b1_ref, s1_ref, t1_ref,
-                w2_ref, b2_ref, s2_ref, t2_ref,
-                w3_ref, b3_ref, s3_ref, t3_ref,
-                wa_ref, ba_ref, wb_ref, bb_ref, wc_ref,
-                wt_ref,
-                dx_ref, dl_ref,
-                dw1_ref, db1_ref, ds1_ref, dt1_ref,
-                dw2_ref, db2_ref, ds2_ref, dt2_ref,
-                dw3_ref, db3_ref, ds3_ref, dt3_ref,
-                dwa_ref, dba_ref, dwb_ref, dbb_ref, dwc_ref,
-                dwt_ref, dbt_ref,
-                dy_scratch,
-                *, e: int, nh: int, pre_rate: float, gate_rate: float):
+                m_ref, s_ref, *rest,
+                e: int, nh: int, pre_rate: float, gate_rate: float,
+                need_dx: bool, save_acts: bool = False):
+    if save_acts:  # extra inputs: forward-saved activations
+        sv_ref, rstd_ref = rest[:2]
+        rest = rest[2:]
+    (w1_ref, b1_ref, s1_ref, t1_ref,
+     w2_ref, b2_ref, s2_ref, t2_ref,
+     w3_ref, b3_ref, s3_ref, t3_ref,
+     wa_ref, ba_ref, wb_ref, bb_ref, wc_ref,
+     wt_ref,
+     dx_ref, dl_ref,
+     dw1_ref, db1_ref, ds1_ref, dt1_ref,
+     dw2_ref, db2_ref, ds2_ref, dt2_ref,
+     dw3_ref, db3_ref, ds3_ref, dt3_ref,
+     dwa_ref, dba_ref, dwb_ref, dbb_ref, dwc_ref,
+     dwt_ref, dbt_ref,
+     dy_scratch) = rest
     is_first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
     @pl.when(is_first)
@@ -179,11 +227,42 @@ def _bwd_kernel(seed_ref, x_ref, l_ref, dtok_ref, g_ref, inner_ref,
 
     x = x_ref[0]
     dt = x.dtype
-    w_refs = (w1_ref[...], b1_ref[...], s1_ref[...], t1_ref[...],
-              w2_ref[...], b2_ref[...], s2_ref[...], t2_ref[...],
-              w3_ref[...], b3_ref[...], s3_ref[...], t3_ref[...])
-    h1, h2, y32, (r1, r2, r3), (m1, m2, m3), prec, base = _recompute_stack(
-        x, seed_ref, w_refs, pre_rate, nh)
+    f = wa_ref.shape[-1]
+    ap = bp = None
+    if save_acts:
+        # reconstruct every residual ELEMENTWISE from the saved (u, rstd,
+        # a_pre, b_pre): v = u*scale+bias, h = gelu(v)*mask — no forward
+        # matmul runs in this kernel (the dropout masks regenerate from the
+        # same per-(block, layer/branch) seeds as the forward)
+        hd = w1_ref.shape[1]
+        E = e * nh
+        base = _block_seed(seed_ref, nh)
+        prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32 else None)
+        sv = sv_ref[0]
+        rstds = rstd_ref[0]
+        m1 = _layer_mask(base, 0, (x.shape[0], hd), pre_rate)
+        m2 = _layer_mask(base, 1, (x.shape[0], hd), pre_rate)
+        m3 = _layer_mask(base, 2, (x.shape[0], E), pre_rate)
+        u1 = sv[:, :hd].astype(jnp.float32)
+        u2 = sv[:, hd:2 * hd].astype(jnp.float32)
+        u3 = sv[:, 2 * hd:2 * hd + E].astype(jnp.float32)
+        ap = sv[:, 2 * hd + E:2 * hd + E + nh * f]
+        bp = sv[:, 2 * hd + E + nh * f:]
+        v1 = u1 * s1_ref[...] + t1_ref[...]
+        v2 = u2 * s2_ref[...] + t2_ref[...]
+        v3 = u3 * s3_ref[...] + t3_ref[...]
+        h1 = _gelu(v1) * m1
+        h2 = _gelu(v2) * m2
+        y32 = _gelu(v3) * m3
+        r1 = (u1, rstds[:, 0:1], v1)
+        r2 = (u2, rstds[:, 1:2], v2)
+        r3 = (u3, rstds[:, 2:3], v3)
+    else:
+        w_refs = (w1_ref[...], b1_ref[...], s1_ref[...], t1_ref[...],
+                  w2_ref[...], b2_ref[...], s2_ref[...], t2_ref[...],
+                  w3_ref[...], b3_ref[...], s3_ref[...], t3_ref[...])
+        h1, h2, y32, (r1, r2, r3), (m1, m2, m3), prec, base = \
+            _recompute_stack(x, seed_ref, w_refs, pre_rate, nh)
     y = y32.astype(dt)
 
     g = g_ref[0]                                            # [1, E] f32
@@ -207,8 +286,12 @@ def _bwd_kernel(seed_ref, x_ref, l_ref, dtok_ref, g_ref, inner_ref,
     base_gate = base + 3
     for h in range(nh):
         yh = y[:, h * e:(h + 1) * e]
-        a_pre, b_pre = _gates(yh, wa_ref[h], ba_ref[h], wb_ref[h], bb_ref[h],
-                              prec)
+        if save_acts:
+            a_pre = ap[:, h * f:(h + 1) * f].astype(jnp.float32)
+            b_pre = bp[:, h * f:(h + 1) * f].astype(jnp.float32)
+        else:
+            a_pre, b_pre = _gates(yh, wa_ref[h], ba_ref[h], wb_ref[h],
+                                  bb_ref[h], prec)
         ma = _branch_mask(base_gate, h, 0, a_pre.shape, gate_rate)
         mb = _branch_mask(base_gate, h, 1, b_pre.shape, gate_rate)
         a = a_pre * ma
@@ -242,9 +325,14 @@ def _bwd_kernel(seed_ref, x_ref, l_ref, dtok_ref, g_ref, inner_ref,
                      dw3_ref, db3_ref, ds3_ref, dt3_ref)
     dh1 = _layer_bwd(dh2, h1, r2, m2, w2_ref, s2_ref, prec,
                      dw2_ref, db2_ref, ds2_ref, dt2_ref)
+    # dx (grad wrt the input features) is only live when the input carries a
+    # learned component (add_stain_encoding); otherwise skip the dz @ w1^T
+    # matmul and the [b, t, d_in] HBM write entirely (need_dx is static).
     dx = _layer_bwd(dh1, x.astype(jnp.float32), r1, m1, w1_ref, s1_ref,
-                    prec, dw1_ref, db1_ref, ds1_ref, dt1_ref)
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+                    prec, dw1_ref, db1_ref, ds1_ref, dt1_ref,
+                    want_dx=need_dx)
+    if need_dx:
+        dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -266,17 +354,32 @@ def _wspecs(shapes):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "e", "nh", "pre_rate", "gate_rate", "t_block", "interpret"))
+    "e", "nh", "pre_rate", "gate_rate", "t_block", "save_acts", "interpret"))
 def _fwd_call(x, mask_bias, seed, wargs, *, e, nh, pre_rate, gate_rate,
-              t_block, interpret=False):
+              t_block, save_acts=False, interpret=False):
     b, t, d_in = x.shape
     E = e * nh
     d_out = wargs[-2].shape[1]
+    h = wargs[0].shape[1]
+    f = wargs[14].shape[-1]
+    sv_cols = 2 * h + E + 2 * nh * f
     x_p, nt, t_pad = _pad_t(x, t_block)
     mb_p, _, _ = _pad_t(mask_bias, t_block, fill=NEG_INF)
+    save_specs, save_shapes = (), ()
+    if save_acts:
+        save_specs = (
+            pl.BlockSpec((1, t_block, sv_cols), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_block, 3), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        save_shapes = (
+            jax.ShapeDtypeStruct((b, t + t_pad, sv_cols), x.dtype),
+            jax.ShapeDtypeStruct((b, t + t_pad, 3), jnp.float32),
+        )
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, e=e, nh=nh, pre_rate=pre_rate,
-                          gate_rate=gate_rate),
+                          gate_rate=gate_rate, save_acts=save_acts),
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -297,6 +400,7 @@ def _fwd_call(x, mask_bias, seed, wargs, *, e, nh, pre_rate, gate_rate,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_block, nh), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
+            *save_specs,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, 1, E), jnp.float32),
@@ -304,6 +408,7 @@ def _fwd_call(x, mask_bias, seed, wargs, *, e, nh, pre_rate, gate_rate,
             jax.ShapeDtypeStruct((b, 1, nh), jnp.float32),
             jax.ShapeDtypeStruct((b, t + t_pad, d_out), x.dtype),
             jax.ShapeDtypeStruct((b, t + t_pad, nh), jnp.float32),
+            *save_shapes,
         ),
         scratch_shapes=[
             pltpu.VMEM((1, nh), jnp.float32),
@@ -316,15 +421,18 @@ def _fwd_call(x, mask_bias, seed, wargs, *, e, nh, pre_rate, gate_rate,
                + wargs[8].shape[0] * E + 2 * E * wargs[14].shape[-1]
                + E * d_out + E),
             bytes_accessed=x.size * x.dtype.itemsize
-            + b * (t + t_pad) * (d_out * x.dtype.itemsize + nh * 4),
+            + b * (t + t_pad) * (d_out * x.dtype.itemsize + nh * 4
+                                 + (sv_cols * x.dtype.itemsize + 12
+                                    if save_acts else 0)),
             transcendentals=5 * b * (t + t_pad) * E,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(seed.reshape(1), x_p, mb_p, *wargs)
-    pooled, m, s, tok, l = outs
-    return pooled, m, s, tok[:, :t], l
+    pooled, m, s, tok, l = outs[:5]
+    saved = outs[5:] if save_acts else (None, None)
+    return pooled, m, s, tok[:, :t], l, saved
 
 
 # ---------------------------------------------------------------------------
@@ -349,20 +457,28 @@ def _weight_args(pre, attn, tokp, dt):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def encoder_train(x: jnp.ndarray, pre, attn, tokp,
                   mask: Optional[jnp.ndarray], seed: jnp.ndarray,
                   pre_rate: float = PRE_RATE,
                   gate_rate: float = GATE_RATE,
-                  t_block: int = DEFAULT_T_BLOCK):
+                  t_block: int = DEFAULT_T_BLOCK,
+                  need_dx: bool = True,
+                  save_acts: Optional[bool] = None):
     """Fused training-mode encoder.
 
     x: [b, t, d_in]; pre/attn: abmil subtrees; tokp: token_projector {w, b};
-    mask: [b, t] bool or None; seed: int32 scalar.
+    mask: [b, t] bool or None; seed: int32 scalar. need_dx=False skips the
+    input-feature gradient (dead unless x carries a learned component, e.g.
+    stain encodings) — the backward returns symbolic-zero dx. save_acts:
+    True = forward saves (u, rstd, a_pre, b_pre) so the backward skips the
+    whole forward recompute; None = auto (on when the saved tensor fits
+    ACT_BUDGET_BYTES); False = recompute (O(x) residual memory).
     Returns (pooled [b, nh, e] in x.dtype, tok [b, t, d_out] in x.dtype).
     """
     (pooled, tok), _ = _enc_fwd(x, pre, attn, tokp, mask, seed,
-                                pre_rate, gate_rate, t_block)
+                                pre_rate, gate_rate, t_block, need_dx,
+                                save_acts)
     return pooled, tok
 
 
@@ -374,21 +490,25 @@ def _mask_bias(mask, b, t, nh):
         jnp.where(m[..., None], 0.0, NEG_INF), (b, t, nh)).astype(jnp.float32)
 
 
-def _enc_fwd(x, pre, attn, tokp, mask, seed, pre_rate, gate_rate, t_block):
+def _enc_fwd(x, pre, attn, tokp, mask, seed, pre_rate, gate_rate, t_block,
+             need_dx=True, save_acts=None):
     b, t, _ = x.shape
     nh, e, f = attn["wa"].shape
+    h = pre["fc1"]["w"].shape[1]
+    save = _resolve_save_acts(save_acts, b, t, h, e * nh, 2 * nh * f,
+                              x.dtype.itemsize)
     wargs = _weight_args(pre, attn, tokp, x.dtype)
-    pooled32, m, s, tok, l = _fwd_call(
+    pooled32, m, s, tok, l, saved = _fwd_call(
         x, _mask_bias(mask, b, t, nh), seed, wargs,
         e=e, nh=nh, pre_rate=pre_rate, gate_rate=gate_rate,
-        t_block=t_block, interpret=_interp())
+        t_block=t_block, save_acts=save, interpret=_interp())
     pooled = pooled32.reshape(b, nh, e).astype(x.dtype)
-    res = (x, pre, attn, tokp, seed, l, m, s, pooled32)
+    res = (x, pre, attn, tokp, seed, l, m, s, pooled32, saved)
     return (pooled, tok), res
 
 
-def _enc_bwd(pre_rate, gate_rate, t_block, res, cots):
-    x, pre, attn, tokp, seed, l, m, s, pooled32 = res
+def _enc_bwd(pre_rate, gate_rate, t_block, need_dx, save_acts, res, cots):
+    x, pre, attn, tokp, seed, l, m, s, pooled32, saved = res
     dpooled, dtok = cots
     b, t, _ = x.shape
     nh, e, f = attn["wa"].shape
@@ -404,7 +524,8 @@ def _enc_bwd(pre_rate, gate_rate, t_block, res, cots):
     outs = _bwd_dispatch(
         x, l, dtok.astype(x.dtype), g_flat, inner, m, s, seed, wargs_bwd,
         e=e, nh=nh, d_out=tokp["w"].shape[1],
-        pre_rate=pre_rate, gate_rate=gate_rate, t_block=t_block)
+        pre_rate=pre_rate, gate_rate=gate_rate, t_block=t_block,
+        need_dx=need_dx, saved=saved)
     (dx, dl, dw1, db1, ds1, dt1, dw2, db2, ds2, dt2, dw3, db3, ds3, dt3,
      dwa, dba, dwb, dbb, dwc, dwt, dbt) = outs
 
@@ -430,6 +551,8 @@ def _enc_bwd(pre_rate, gate_rate, t_block, res, cots):
         "bc": like(dbc.reshape(attn["bc"].shape), attn["bc"]),
     }
     d_tokp = {"w": like(dwt, tokp["w"]), "b": like(dbt, tokp["b"])}
+    if dx is None:  # need_dx=False: zero cotangent, DCE'd when x is a leaf
+        dx = jnp.zeros_like(x)
     return dx, d_pre, d_attn, d_tokp, None, None
 
 
@@ -437,9 +560,10 @@ encoder_train.defvjp(_enc_fwd, _enc_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "e", "nh", "d_out", "pre_rate", "gate_rate", "t_block"))
+    "e", "nh", "d_out", "pre_rate", "gate_rate", "t_block", "need_dx"))
 def _bwd_dispatch(x, l, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
-                  e, nh, d_out, pre_rate, gate_rate, t_block):
+                  e, nh, d_out, pre_rate, gate_rate, t_block, need_dx=True,
+                  saved=(None, None)):
     b, t, d_in = x.shape
     E = e * nh
     h = wargs_bwd[0].shape[1]
@@ -448,6 +572,17 @@ def _bwd_dispatch(x, l, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
     l_p, _, _ = _pad_t(l, t_block, fill=NEG_INF)
     dtok_p, _, _ = _pad_t(dtok, t_block)
     f32 = jnp.float32
+    save_acts = saved[0] is not None
+    saved_args, saved_specs = (), ()
+    if save_acts:  # already t-padded by the forward call
+        sv_cols = saved[0].shape[-1]
+        saved_args = tuple(saved)
+        saved_specs = (
+            pl.BlockSpec((1, t_block, sv_cols), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_block, 3), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        )
     grad_shapes = [
         (d_in, h), (h,), (h,), (h,),
         (h, h), (h,), (h,), (h,),
@@ -455,9 +590,18 @@ def _bwd_dispatch(x, l, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
         (nh, e, f), (nh, f), (nh, e, f), (nh, f), (nh, f),
         (E, d_out), (d_out,),
     ]
+    # need_dx=False: the dx output shrinks to an unwritten [b, 1, d_in]
+    # stub (same kernel signature, no HBM writes, no dz @ w1^T matmul)
+    dx_spec = (pl.BlockSpec((1, t_block, d_in), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM) if need_dx else
+               pl.BlockSpec((1, 1, d_in), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM))
+    dx_shape = jax.ShapeDtypeStruct(
+        (b, t + t_pad, d_in) if need_dx else (b, 1, d_in), x.dtype)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, e=e, nh=nh, pre_rate=pre_rate,
-                          gate_rate=gate_rate),
+                          gate_rate=gate_rate, need_dx=need_dx,
+                          save_acts=save_acts),
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -475,17 +619,17 @@ def _bwd_dispatch(x, l, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, nh), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            *saved_specs,
             *_wspecs([w.shape for w in wargs_bwd]),
         ],
         out_specs=(
-            pl.BlockSpec((1, t_block, d_in), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
+            dx_spec,
             pl.BlockSpec((1, t_block, nh), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             *_wspecs(grad_shapes),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, t + t_pad, d_in), x.dtype),
+            dx_shape,
             jax.ShapeDtypeStruct((b, t + t_pad, nh), jnp.float32),
             *[jax.ShapeDtypeStruct(sh, f32) for sh in grad_shapes],
         ),
@@ -501,6 +645,8 @@ def _bwd_dispatch(x, l, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interp(),
-    )(seed.reshape(1), x_p, l_p, dtok_p, g_flat, inner, m, s, *wargs_bwd)
-    dx, dl = outs[0][:, :t], outs[1][:, :t]
+    )(seed.reshape(1), x_p, l_p, dtok_p, g_flat, inner, m, s,
+      *saved_args, *wargs_bwd)
+    dx = outs[0][:, :t] if need_dx else None
+    dl = outs[1][:, :t]
     return (dx, dl) + tuple(outs[2:])

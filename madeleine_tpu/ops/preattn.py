@@ -107,9 +107,11 @@ def _fwd_kernel(seed_ref, x_ref,
 
 
 def _layer_bwd(dout, hin32, res, mask, w_ref, s_ref, prec,
-               dw_ref, db_ref, ds_ref, dt_ref):
+               dw_ref, db_ref, ds_ref, dt_ref, want_dx: bool = True):
     """Backward through one layer. dout: grad at the dropout output.
-    hin32: the layer's input (f32). Returns grad w.r.t. the layer input."""
+    hin32: the layer's input (f32). Returns grad w.r.t. the layer input,
+    or None when want_dx=False (the input is a non-trained leaf — skips
+    the dz @ w^T matmul entirely)."""
     u, rstd, v = res
     dg = dout * mask                          # through dropout
     dv = dg * _gelu_grad(v)                   # through GELU
@@ -128,6 +130,8 @@ def _layer_bwd(dout, hin32, res, mask, w_ref, s_ref, prec,
         hin32.astype(w_ref.dtype), dzc, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
     db_ref[...] += jnp.sum(dz, axis=0)
+    if not want_dx:
+        return None
     return jax.lax.dot_general(
         dzc, w_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)

@@ -367,6 +367,23 @@ def check_encoder_train():
     assert abs(fd - an) / max(abs(fd), 1e-6) < 1e-2, (fd, an)
     print("encoder_train dropout determinism + wc FD: OK")
 
+    # save_acts vs recompute at ACTIVE dropout: the save-mode backward only
+    # regenerates the masks (activations come saved); any seed drift between
+    # the two paths would show here as a gradient mismatch
+    def loss_mode(args, save_acts):
+        p, tk = encoder_train(args[0], args[1], args[2], args[3], None, seed,
+                              0.1, 0.25, 256, True, save_acts)
+        return jnp.sum(jnp.sin(p)) + jnp.sum(jnp.cos(tk) * 0.01)
+
+    args = (x, pre, attn, tokp)
+    g_save = jax.grad(loss_mode)(args, True)
+    g_reco = jax.grad(loss_mode)(args, False)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_save),
+                     jax.tree_util.tree_leaves(g_reco)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-5, atol=5e-5)
+    print("encoder_train save_acts == recompute (active dropout): OK")
+
 
 if __name__ == "__main__":
     print("backend:", jax.default_backend())

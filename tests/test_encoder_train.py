@@ -64,8 +64,10 @@ def test_forward_matches_unfused(setup, masked):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("save_acts", [False, True],
+                         ids=["recompute", "save_acts"])
 @pytest.mark.parametrize("masked", [False, True], ids=["dense", "ragged"])
-def test_grads_match_unfused(setup, masked):
+def test_grads_match_unfused(setup, masked, save_acts):
     from madeleine_tpu.ops.encoder_train import encoder_train
 
     params, tokp, x, mask = setup
@@ -73,7 +75,7 @@ def test_grads_match_unfused(setup, masked):
 
     def loss_f(x, pre, attn, tokp):
         p, t = encoder_train(x, pre, attn, tokp, m, jnp.int32(7), 0.0, 0.0,
-                             T_BLOCK)
+                             T_BLOCK, True, save_acts)
         return jnp.sum(jnp.sin(p)) + jnp.sum(jnp.cos(t) * 0.01)
 
     def loss_r(x, pre, attn, tokp):
@@ -110,3 +112,26 @@ def test_ragged_tail_padding(setup):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_need_dx_false_same_weight_grads(setup):
+    """need_dx=False (canonical no-stain-encoding config) must change NOTHING
+    except dx: weight grads bit-identical to need_dx=True, dx symbolic zero."""
+    from madeleine_tpu.ops.encoder_train import encoder_train
+
+    params, tokp, x, mask = setup
+
+    def loss_f(args, need_dx):
+        x, pre, attn, tokp = args
+        p, t = encoder_train(x, pre, attn, tokp, mask, jnp.int32(7), 0.0,
+                             0.0, T_BLOCK, need_dx)
+        return jnp.sum(jnp.sin(p)) + jnp.sum(jnp.cos(t) * 0.01)
+
+    args = (x, params["pre_attn"], params["attn"], tokp)
+    g_full = jax.grad(loss_f)(args, True)
+    g_nodx = jax.grad(loss_f)(args, False)
+    for a, b in zip(jax.tree_util.tree_leaves(g_full[1:]),
+                    jax.tree_util.tree_leaves(g_nodx[1:])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.all(np.asarray(g_nodx[0]) == 0.0)
+    assert np.any(np.asarray(g_full[0]) != 0.0)
