@@ -16,6 +16,7 @@ the XLA path remain for training and fallbacks. Requires head-major layout.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -45,13 +46,52 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _ln_gelu(x32, scale, bias):
+# Set MADELEINE_EXACT_ERF=1 to force the A&S erf everywhere (including the
+# bf16 compute paths).
+_EXACT_ERF = bool(os.environ.get("MADELEINE_EXACT_ERF"))
+
+# erf(x) ~= tanh(x * P(x^2)), P degree 4 — weighted least-squares fit of
+# atanh(erf) (weight 1-erf^2): max |err| 3.5e-6 on [0, inf), exact odd
+# symmetry, tail saturates to 1 (positive leading coefficient). v5e VPU
+# costs (scripts/bench_vpu_ops.py): tanh is a ~0.74-cycle hardware op while
+# the A&S chain costs ~13.2 cycles/vreg (its reciprocal alone ~3.9) — ~2x
+# cheaper at 500x below bf16 resolution. Used only when the kernel's compute
+# dtype is sub-f32; f32 (golden/parity) paths keep the A&S erf bit-for-bit.
+_ERF_TANH_C = (1.12836141, 1.02912513e-1, -4.67876657e-4, -4.28175433e-4,
+               3.39589343e-5)
+
+
+def _erf_tanh(x32):
+    t = x32 * x32
+    c0, c1, c2, c3, c4 = _ERF_TANH_C
+    p = jnp.float32(c4)
+    p = p * t + jnp.float32(c3)
+    p = p * t + jnp.float32(c2)
+    p = p * t + jnp.float32(c1)
+    p = p * t + jnp.float32(c0)
+    return jnp.tanh(x32 * p)
+
+
+def _erf_auto(x32, fast: bool):
+    if fast and not _EXACT_ERF:
+        return _erf_tanh(x32)
+    return _erf(x32)
+
+
+def _sigmoid_tanh(z32):
+    """sigmoid(z) = 0.5*(1+tanh(z/2)) — exact identity; tanh is a hardware
+    op on v5e (~0.74 cycles/vreg) while the exp+recip sigmoid lowering costs
+    ~3.8 (scripts/bench_vpu_ops.py)."""
+    return 0.5 * (1.0 + jnp.tanh(0.5 * z32))
+
+
+def _ln_gelu(x32, scale, bias, fast: bool = False):
     """LayerNorm (fp32 stats) + erf GELU (polynomial erf); returns fp32."""
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     y = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
     y = y * scale + bias
-    return 0.5 * y * (1.0 + _erf(y * (2.0 ** -0.5)))
+    return 0.5 * y * (1.0 + _erf_auto(y * (2.0 ** -0.5), fast))
 
 
 def _encode_kernel(x_ref, mb_ref,
@@ -73,15 +113,16 @@ def _encode_kernel(x_ref, mb_ref,
     x = x_ref[0]                                           # [T, d_in]
     dt = x.dtype
     # ---- pre-attention MLP, all in VMEM -------------------------------
+    fast = dt != jnp.float32
     h = _ln_gelu(jnp.dot(x, w1_ref[...],
                          preferred_element_type=jnp.float32) + b1_ref[...],
-                 s1_ref[...], t1_ref[...])
+                 s1_ref[...], t1_ref[...], fast)
     h = _ln_gelu(jnp.dot(h.astype(dt), w2_ref[...],
                          preferred_element_type=jnp.float32) + b2_ref[...],
-                 s2_ref[...], t2_ref[...])
+                 s2_ref[...], t2_ref[...], fast)
     y32 = _ln_gelu(jnp.dot(h.astype(dt), w3_ref[...],
                            preferred_element_type=jnp.float32) + b3_ref[...],
-                   s3_ref[...], t3_ref[...])               # [T, E] fp32
+                   s3_ref[...], t3_ref[...], fast)         # [T, E] fp32
     y = y32.astype(dt)
 
     # ---- gates + logits per head ---------------------------------------
@@ -91,9 +132,9 @@ def _encode_kernel(x_ref, mb_ref,
         a = jnp.tanh(jnp.dot(yh, wa_ref[hd],
                              preferred_element_type=jnp.float32)
                      + ba_ref[hd][None, :])
-        g = a * jax.nn.sigmoid(jnp.dot(yh, wb_ref[hd],
-                                       preferred_element_type=jnp.float32)
-                               + bb_ref[hd][None, :])
+        g = a * _sigmoid_tanh(jnp.dot(yh, wb_ref[hd],
+                                      preferred_element_type=jnp.float32)
+                              + bb_ref[hd][None, :])
         l_h = jnp.sum(g * wc_ref[hd][None, :], axis=1,
                       keepdims=True) + bc_ref[hd][0]
         logit_cols.append(l_h)

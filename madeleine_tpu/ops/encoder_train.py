@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from madeleine_tpu.ops.attn_pool import NEG_INF, _head_sums, _normalize_mask, _tile_heads
 from madeleine_tpu.ops.gated_logits import _branch_mask, _gates
 from madeleine_tpu.ops.preattn import (
-    _gelu,
+    _gauss_cdf,
     _layer_bwd,
     _layer_fwd,
     _layer_mask,
@@ -251,12 +251,17 @@ def _bwd_kernel(seed_ref, x_ref, l_ref, dtok_ref, g_ref, inner_ref,
         v1 = u1 * s1_ref[...] + t1_ref[...]
         v2 = u2 * s2_ref[...] + t2_ref[...]
         v3 = u3 * s3_ref[...] + t3_ref[...]
-        h1 = _gelu(v1) * m1
-        h2 = _gelu(v2) * m2
-        y32 = _gelu(v3) * m3
-        r1 = (u1, rstds[:, 0:1], v1)
-        r2 = (u2, rstds[:, 1:2], v2)
-        r3 = (u3, rstds[:, 2:3], v3)
+        # one erf per layer: Phi reconstructs h AND feeds gelu' in _layer_bwd
+        fast = dt != jnp.float32
+        P1 = _gauss_cdf(v1, fast)
+        P2 = _gauss_cdf(v2, fast)
+        P3 = _gauss_cdf(v3, fast)
+        h1 = (v1 * P1) * m1
+        h2 = (v2 * P2) * m2
+        y32 = (v3 * P3) * m3
+        r1 = (u1, rstds[:, 0:1], v1, P1)
+        r2 = (u2, rstds[:, 1:2], v2, P2)
+        r3 = (u3, rstds[:, 2:3], v3, P3)
     else:
         w_refs = (w1_ref[...], b1_ref[...], s1_ref[...], t1_ref[...],
                   w2_ref[...], b2_ref[...], s2_ref[...], t2_ref[...],

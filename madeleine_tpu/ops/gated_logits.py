@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from madeleine_tpu.ops.encode_fused import _sigmoid_tanh
+
 DEFAULT_RATE = 0.25  # ref: abmil.py:34-35
 # token-block size (env-tunable for sweeps; measured best at canonical scale)
 DEFAULT_T_BLOCK = int(os.environ.get("MADELEINE_GATED_TBLOCK", "128"))
@@ -67,8 +69,9 @@ def _block_seed(seed_ref, nh: int):
 def _gates(yh, wa_h, ba_h, wb_h, bb_h, prec):
     a_pre = jnp.tanh(jnp.dot(yh, wa_h, preferred_element_type=jnp.float32,
                              precision=prec) + ba_h[None, :])
-    b_pre = jax.nn.sigmoid(jnp.dot(yh, wb_h, preferred_element_type=jnp.float32,
-                                   precision=prec) + bb_h[None, :])
+    b_pre = _sigmoid_tanh(jnp.dot(yh, wb_h,
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec) + bb_h[None, :])
     return a_pre, b_pre
 
 

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from madeleine_tpu.ops.encode_fused import _sigmoid_tanh
+
 from madeleine_tpu.ops.attn_pool import (
     NEG_INF,
     _head_expand_matrix,
@@ -68,7 +70,7 @@ def _gated_pool_kernel(x_ref, mb_ref, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref,
             jnp.dot(xh, wa_ref[h], preferred_element_type=jnp.float32,
                     precision=gate_prec)
             + ba_ref[h][None, :])
-        g = a * jax.nn.sigmoid(
+        g = a * _sigmoid_tanh(
             jnp.dot(xh, wb_ref[h], preferred_element_type=jnp.float32,
                     precision=gate_prec)
             + bb_ref[h][None, :])
