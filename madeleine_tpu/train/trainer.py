@@ -21,6 +21,7 @@ as a single donated-state jitted step:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -250,7 +251,14 @@ def train_loop(
 
     # Device results are collected WITHOUT per-step host syncs — float()-ing
     # the loss every step would serialize host and device; instead async
-    # dispatch pipelines the whole epoch and we fetch once at the end.
+    # dispatch pipelines the epoch and we fetch once at the end. Dispatch is
+    # WINDOWED, not unbounded: every step enqueues a host->device transfer
+    # whose source buffer stays pinned until the device consumes it, so on a
+    # slow link (the axon tunnel moves ~35 MB/s) an unbounded epoch pins
+    # up to batches_per_epoch x batch_bytes of host RAM (measured ~94 GB at
+    # ACROBAT scale). Blocking on the loss from K steps ago keeps K batches
+    # in flight — deep enough to hide any realistic transfer/step ratio.
+    window = int(os.environ.get("MADELEINE_DISPATCH_WINDOW", "8"))
     losses, skips, embeds_dev, masks = [], [], [], []
     t0 = time.time()
 
@@ -293,6 +301,13 @@ def train_loop(
         state, he_embs, metrics = train_step(state, device_batch, step_rng)
         losses.append(metrics["loss"])
         skips.append(metrics["skipped"])
+        if window > 0 and len(losses) > window:
+            # bounded dispatch: wait for the step K back (its input buffers
+            # are released once consumed). A host scalar fetch, not
+            # block_until_ready — the axon tunnel does not force enqueued
+            # chained work on block_until_ready (CLAUDE.md); on real hosts
+            # the K-back loss is long materialized and this costs ~us.
+            float(losses[-window - 1])
         embeds_dev.append(he_embs)
         masks.append(np.asarray(batch.get(
             "sample_mask", np.ones(batch["feats"].shape[0], bool))))
