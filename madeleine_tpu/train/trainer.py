@@ -301,14 +301,25 @@ def train_loop(
         state, he_embs, metrics = train_step(state, device_batch, step_rng)
         losses.append(metrics["loss"])
         skips.append(metrics["skipped"])
-        if window > 0 and len(losses) > window:
-            # bounded dispatch: wait for the step K back (its input buffers
-            # are released once consumed). A host scalar fetch, not
-            # block_until_ready — the axon tunnel does not force enqueued
-            # chained work on block_until_ready (CLAUDE.md); on real hosts
-            # the K-back loss is long materialized and this costs ~us.
-            float(losses[-window - 1])
         embeds_dev.append(he_embs)
+        if window > 0 and len(losses) > window:
+            # bounded dispatch: materialize ALL outputs of the step K back
+            # (host fetches, not block_until_ready — the axon tunnel does
+            # not force enqueued chained work on it, CLAUDE.md). Fetching
+            # every output releases that step's execution record, and with
+            # it the pinned input batch: clients that hold execution
+            # arguments until the outputs are consumed (the tunnel) would
+            # otherwise pin batches_per_epoch x batch_bytes of host RAM
+            # (measured: ~1.3 GB/step growth at ACROBAT scale, OOM before
+            # one epoch). On real hosts the K-back step is long done and
+            # these fetches cost ~us.
+            k = len(losses) - window - 1
+            losses[k] = float(losses[k])
+            skips[k] = bool(skips[k])
+            if not multihost:
+                # multihost embeddings are batch-sharded global arrays —
+                # fetched via their local shards at epoch end instead
+                embeds_dev[k] = np.asarray(embeds_dev[k])
         masks.append(np.asarray(batch.get(
             "sample_mask", np.ones(batch["feats"].shape[0], bool))))
         if log_every and (b_idx % log_every) == 0:
