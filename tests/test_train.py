@@ -258,3 +258,33 @@ def test_train_loop_ragged_end_to_end_padding_invariant(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
                     jax.tree_util.tree_leaves(state_b.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_loop_dispatch_window_invariant(monkeypatch):
+    """The bounded-dispatch path (materialize every output of the step
+    leaving the window, trainer.py) must not change the epoch's results.
+    A window of 1 forces the materialization branch on every step past the
+    first; window 0 disables it entirely. Both runs must agree bit-for-bit
+    on loss, rank, and final params."""
+    cfg = _cfg(local_loss="-1")
+    params = init_madeleine_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=6)
+    step = make_train_step(cfg, tx, donate=False)
+    rng = np.random.default_rng(13)
+    batches = [_batch(rng) for _ in range(6)]
+
+    results = []
+    for window in ("0", "1"):
+        monkeypatch.setenv("MADELEINE_DISPATCH_WINDOW", window)
+        state = init_train_state(params, tx)
+        state, ep_loss, rank, agg = train_loop(
+            cfg, step, state, batches, epoch=0,
+            rng_key=jax.random.PRNGKey(17))
+        assert agg["n_steps"] == 6
+        results.append((ep_loss, rank, state))
+    (loss_a, rank_a, state_a), (loss_b, rank_b, state_b) = results
+    np.testing.assert_array_equal(loss_a, loss_b)
+    np.testing.assert_array_equal(rank_a, rank_b)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
