@@ -127,6 +127,15 @@ def main() -> int:
     ap.add_argument("--data_dir", default="/tmp/madeleine_epoch_cohort")
     ap.add_argument("--results_dir", default="/tmp/madeleine_epoch_results")
     ap.add_argument("--loader-only", action="store_true")
+    ap.add_argument("--skip-loader", action="store_true",
+                    help="skip the loader-only pass (already measured)")
+    ap.add_argument("--fed_cases", type=int, default=0,
+                    help="run the fed pretrain on only the first N cases of "
+                         "the cohort (the axon tunnel moves ~15 MB/s "
+                         "host->device, so a full 44 GB/epoch fed run is "
+                         "tunnel-bound into hours; a subset keeps the step "
+                         "at the CANONICAL shape — bs x 5 stains x sample "
+                         "tokens — while the epoch fits the tunnel)")
     ap.add_argument("--clean", action="store_true",
                     help="delete the cohort afterwards")
     args = ap.parse_args()
@@ -134,13 +143,23 @@ def main() -> int:
     csv_path = build_cohort(args.data_dir, args.cases, args.d,
                             args.min_tokens, args.max_tokens)
 
-    host = bench_loader_only(csv_path, args.data_dir, args.batch, args.sample,
-                             args.d)
-    print(json.dumps({"metric": "loader_only_epoch", **host}), flush=True)
+    if not args.skip_loader:
+        host = bench_loader_only(csv_path, args.data_dir, args.batch,
+                                 args.sample, args.d)
+        print(json.dumps({"metric": "loader_only_epoch", **host}), flush=True)
+    else:
+        host = {"s_per_batch": float("nan")}
     if args.loader_only:
         if args.clean:
             shutil.rmtree(args.data_dir, ignore_errors=True)
         return 0
+
+    if args.fed_cases:
+        import pandas as pd
+        sub = pd.read_csv(csv_path).head(args.fed_cases)
+        csv_path = os.path.join(args.data_dir,
+                                f"cohort_head{args.fed_cases}.csv")
+        sub.to_csv(csv_path, index=False)
 
     shutil.rmtree(args.results_dir, ignore_errors=True)
     cmd = [
@@ -174,6 +193,7 @@ def main() -> int:
                         times.append(rec["epoch_time"])
     result = {
         "metric": "fed_epoch",
+        "fed_cases": args.fed_cases or args.cases,
         "epochs": len(times),
         "epoch_s_each": [round(t, 1) for t in times],
         "epoch_s_steady": round(float(np.median(times[1:]) if len(times) > 1
