@@ -15,8 +15,9 @@ Line 3: native .bag loader batch-assembly bandwidth (GB/s) — pure host,
 tunnel-independent.
 
 Line 4: END-TO-END disk -> BucketedBagLoader -> run_inference throughput.
-NOTE: under the axon tunnel host->device is ~35 MB/s, so this line measures
-the tunnel, not the system; production numbers are bounded by line 1.
+NOTE: under the axon tunnel host->device is ~12 MB/s (measured round 4), so
+this line measures the tunnel, not the system; production numbers are bounded
+by line 1.
 """
 
 import json
@@ -289,9 +290,9 @@ def bench_end_to_end(params, cfg) -> None:
             "value": round(sps, 2),
             "unit": "slides/sec/chip",
             "vs_baseline": round(sps / BASELINE_SLIDES_PER_SEC, 3),
-            "note": "axon tunnel host->device is ~35 MB/s, so this line "
-                    "measures the tunnel, not the system; production "
-                    "PCIe-fed throughput is bounded by line 1",
+            "note": "axon tunnel host->device is ~12 MB/s (measured), so "
+                    "this line measures the tunnel, not the system; "
+                    "production PCIe-fed throughput is bounded by line 1",
         }), flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -9,9 +9,10 @@ epochs and reports measured epoch wall times from metrics.jsonl.
 
 It also measures the loader ALONE (assembly rate with no device in the loop)
 so the epoch number decomposes into loader vs step vs transfer. On the axon
-tunnel, host->device moves ~35 MB/s, so the fed-epoch wall number is
-tunnel-dominated; the loader-only and device-step lines are the
-production-relevant ones (PCIe/local-TPU hosts move GB/s).
+tunnel, host->device moves ~12 MB/s (measured round 4: 12.2 MB/s on 64 MB
+chunks), so the fed-epoch wall number is tunnel-dominated; the loader-only
+and device-step lines are the production-relevant ones (PCIe/local-TPU hosts
+move GB/s).
 
 Usage:
   python scripts/bench_epoch.py [--cases 4211] [--epochs 3]
@@ -131,7 +132,7 @@ def main() -> int:
                     help="skip the loader-only pass (already measured)")
     ap.add_argument("--fed_cases", type=int, default=0,
                     help="run the fed pretrain on only the first N cases of "
-                         "the cohort (the axon tunnel moves ~15 MB/s "
+                         "the cohort (the axon tunnel moves ~12 MB/s "
                          "host->device, so a full 44 GB/epoch fed run is "
                          "tunnel-bound into hours; a subset keeps the step "
                          "at the CANONICAL shape — bs x 5 stains x sample "
@@ -148,7 +149,7 @@ def main() -> int:
                                  args.sample, args.d)
         print(json.dumps({"metric": "loader_only_epoch", **host}), flush=True)
     else:
-        host = {"s_per_batch": float("nan")}
+        host = {"s_per_batch": None}
     if args.loader_only:
         if args.clean:
             shutil.rmtree(args.data_dir, ignore_errors=True)
@@ -199,9 +200,11 @@ def main() -> int:
         "epoch_s_steady": round(float(np.median(times[1:]) if len(times) > 1
                                       else times[0]), 1) if times else None,
         "total_wall_s": round(wall, 1),
-        "loader_only_s_per_batch": round(host["s_per_batch"], 3),
+        "loader_only_s_per_batch": (round(host["s_per_batch"], 3)
+                                    if host["s_per_batch"] is not None
+                                    else None),
         "note": "fed epoch includes host->device transfer; on the axon "
-                "tunnel that path moves ~35 MB/s and dominates — see "
+                "tunnel that path moves ~12 MB/s and dominates — see "
                 "loader_only + train_step_device_ms for production math",
     }
     print(json.dumps(result), flush=True)
