@@ -21,6 +21,7 @@
 // C API (ctypes-friendly): bag_open/rows/cols/dtype/gather/coords/close,
 // plus bag_assemble_batch for parallel multi-bag gathers.
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -35,6 +36,11 @@
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
+
+#if defined(__x86_64__) || defined(__i386__)
+#include <immintrin.h>
+#define BAGIO_X86 1
+#endif
 
 namespace {
 
@@ -51,6 +57,7 @@ struct Bag {
   uint32_t dtype = kDtypeF32;
   const uint8_t* data = nullptr;
   const int64_t* coords = nullptr;
+  std::atomic<bool> warmed{false};
 };
 
 // Random-order row gathers over a cold mmap degrade to ~1k IOPS of 4 KB
@@ -68,9 +75,75 @@ inline void warm_bag_sequential(Bag* bag) {
 }
 
 inline void prefetch_bag(Bag* bag, int64_t rows_needed) {
-  if (rows_needed * 4 >= bag->n_rows) warm_bag_sequential(bag);
+  // Warm ONCE per bag per process: re-touching every page on every batch
+  // cost ~20 ms/batch of cache-line misses + 650 madvise syscalls at
+  // canonical scale once the pages were resident. If the kernel later
+  // evicts them, the sorted gathers fault in ascending order, which the
+  // readahead window streams at disk bandwidth anyway.
+  if (rows_needed * 4 >= bag->n_rows && !bag->warmed.exchange(true))
+    warm_bag_sequential(bag);
   // sparse gathers (<25% coverage) keep demand paging — reading the whole
   // file would waste more IO than the random faults cost
+}
+
+// Copy with non-temporal (streaming) stores. The assembled batch buffer is
+// write-only for the CPU — it goes straight to the device transfer — so
+// regular stores waste a third of the memory traffic on read-for-ownership
+// of destination lines the core will never read. NT stores skip the RFO:
+// traffic drops from (read src + RFO dst + write dst) to (read src + write
+// dst). Callers that issue NT stores must _mm_sfence() before publishing
+// the buffer to another thread (gather_rows_stream does).
+inline void stream_copy(uint8_t* dst, const uint8_t* src, int64_t n) {
+#ifdef BAGIO_X86
+  if ((reinterpret_cast<uintptr_t>(dst) & 15) == 0 && n >= 128) {
+    int64_t i = 0;
+#ifdef __AVX512F__
+    if ((reinterpret_cast<uintptr_t>(dst) & 63) == 0) {
+      for (; i + 64 <= n; i += 64) {
+        __m512i v = _mm512_loadu_si512(
+            reinterpret_cast<const void*>(src + i));
+        _mm512_stream_si512(reinterpret_cast<__m512i*>(dst + i), v);
+      }
+    }
+#endif
+    for (; i + 16 <= n; i += 16) {
+      __m128i v =
+          _mm_loadu_si128(reinterpret_cast<const __m128i*>(src + i));
+      _mm_stream_si128(reinterpret_cast<__m128i*>(dst + i), v);
+    }
+    if (i < n) std::memcpy(dst + i, src + i, n - i);
+    return;
+  }
+#endif
+  std::memcpy(dst, src, n);
+}
+
+// Same-dtype row gather with run merging: bag_sample_indices emits SORTED
+// indices, so consecutive rows arrive as runs (coverage at canonical scale
+// is 60-100% of the bag -> mean run length ~3 rows) that collapse into one
+// streaming copy each. ITEM = bytes per element on disk AND in dst.
+template <int ITEM>
+inline void gather_rows_stream(const Bag* bag, const int64_t* idx, int64_t t,
+                               uint8_t* dst) {
+  const int64_t row_bytes = bag->n_cols * ITEM;
+  int64_t i = 0;
+  while (i < t) {
+    const int64_t r = idx[i];
+    if (r < 0 || r >= bag->n_rows) {
+      std::memset(dst + i * row_bytes, 0, row_bytes);
+      ++i;
+      continue;
+    }
+    int64_t j = i + 1;
+    while (j < t && idx[j] == idx[j - 1] + 1 && idx[j] < bag->n_rows) ++j;
+    stream_copy(dst + i * row_bytes, bag->data + r * row_bytes,
+                (j - i) * row_bytes);
+    i = j;
+  }
+#ifdef BAGIO_X86
+  _mm_sfence();  // drain write-combining buffers before the pool's done_
+                 // handshake publishes the batch
+#endif
 }
 
 inline float bf16_to_f32(uint16_t v) {
@@ -317,7 +390,11 @@ void bag_assemble_batch(void** handles, int64_t n_tasks, const int64_t* indices,
       }
       prefetch_bag(bag, t);
       const int64_t* idx = indices + k * t;
-      for (int64_t i = 0; i < t; ++i) copy_row(bag, idx[i], dst + i * d);
+      if (bag->dtype == kDtypeF32) {  // same-dtype: merged streaming gather
+        gather_rows_stream<4>(bag, idx, t, reinterpret_cast<uint8_t*>(dst));
+      } else {
+        for (int64_t i = 0; i < t; ++i) copy_row(bag, idx[i], dst + i * d);
+      }
     });
   }
   GetPool(n_threads)->Run(tasks);
@@ -339,7 +416,12 @@ void bag_assemble_batch_bf16(void** handles, int64_t n_tasks,
       }
       prefetch_bag(bag, t);
       const int64_t* idx = indices + k * t;
-      for (int64_t i = 0; i < t; ++i) copy_row_bf16(bag, idx[i], dst + i * d);
+      if (bag->dtype == kDtypeBf16) {  // same-dtype: merged streaming gather
+        gather_rows_stream<2>(bag, idx, t, reinterpret_cast<uint8_t*>(dst));
+      } else {
+        for (int64_t i = 0; i < t; ++i)
+          copy_row_bf16(bag, idx[i], dst + i * d);
+      }
     });
   }
   GetPool(n_threads)->Run(tasks);
@@ -374,18 +456,33 @@ void bag_sample_indices(uint64_t seed, const int64_t* n_rows, int64_t n_bags,
     int64_t* dst = out + k * t;
     const int64_t n = n_rows[k];
     uint64_t s = seed ^ (0xd1342543de82ef95ull * static_cast<uint64_t>(k + 1));
+    // Output is SORTED ascending: a subsample is a (multi)set — the model
+    // is permutation-invariant over tokens and the half-bag views draw
+    // their own on-device permutation (models/abmil.py) — and sorted
+    // indices turn the gather into near-sequential runs that
+    // gather_rows_stream merges into big streaming copies. Both branches
+    // generate sorted output DIRECTLY (an explicit std::sort of the old
+    // Fisher-Yates output cost ~35 ms/batch at canonical scale, most of
+    // the gather win).
     if (n <= 0) {
       std::memset(dst, 0, sizeof(int64_t) * t);
-    } else if (n < t) {  // with replacement
+    } else if (n < t) {  // with replacement: draw counts, counting-sort
+      scratch.assign(n, 0);
       for (int64_t i = 0; i < t; ++i)
-        dst[i] = static_cast<int64_t>(bounded(&s, n));
-    } else {  // partial Fisher-Yates: first t entries of a permutation of n
-      scratch.resize(n);
-      for (int64_t i = 0; i < n; ++i) scratch[i] = i;
-      for (int64_t i = 0; i < t; ++i) {
-        int64_t j = i + static_cast<int64_t>(bounded(&s, n - i));
-        std::swap(scratch[i], scratch[j]);
-        dst[i] = scratch[i];
+        ++scratch[static_cast<int64_t>(bounded(&s, n))];
+      int64_t p = 0;
+      for (int64_t r = 0; r < n; ++r)
+        for (int64_t c = 0; c < scratch[r]; ++c) dst[p++] = r;
+    } else {  // uniform WOR via selection sampling (Knuth Algorithm S):
+      // visit rows in order, take row with prob needed/remaining — exactly
+      // uniform over t-subsets, emitted in ascending order, O(n) cheap
+      // draws and no scratch permutation
+      int64_t needed = t;
+      for (int64_t row = 0; row < n && needed > 0; ++row) {
+        if (bounded(&s, n - row) < static_cast<uint64_t>(needed)) {
+          dst[t - needed] = row;
+          --needed;
+        }
       }
     }
   }

@@ -155,7 +155,12 @@ class NativeTrainLoader:
         at canonical scale on a 1-vCPU host). A WOR sample is the t smallest
         iid keys over the valid rows — same distribution as permutation[:t],
         different stream consumption (determinism tests unaffected; the
-        model is permutation-invariant over tokens)."""
+        model is permutation-invariant over tokens).
+
+        Rows come back SORTED per bag (both the native sampler and this
+        fallback): a subsample is a (multi)set, and sorted indices make the
+        C++ gather near-sequential — consecutive rows merge into single
+        streaming copies (bagio.cpp gather_rows_stream)."""
         n_mod, t = len(self.modalities), self.sample
         if self.per_case_seed:
             return np.stack([
@@ -176,10 +181,11 @@ class NativeTrainLoader:
             nmax = int(nb.max())
             keys = self.rng.random((len(nb), nmax))
             keys[np.arange(nmax)[None, :] >= nb[:, None]] = np.inf
-            out[big] = np.argpartition(keys, t - 1, axis=1)[:, :t]
+            out[big] = np.sort(
+                np.argpartition(keys, t - 1, axis=1)[:, :t], axis=1)
         for j in np.nonzero((~big) & (n_rows > 0))[0]:
             # short bags sample with replacement (ref: wsi_dataset.py:44-46)
-            out[j] = self.rng.integers(0, n_rows[j], size=t)
+            out[j] = np.sort(self.rng.integers(0, n_rows[j], size=t))
         return out
 
     def _local_slice(self) -> slice:

@@ -329,6 +329,9 @@ def test_batch_indices_vectorized_wor(tmp_path, native_lib):
             assert len(np.unique(idx[j])) == t  # without replacement
         else:
             assert idx[j].min() >= 0 and idx[j].max() < n  # with replacement
+        # sorted-emission contract: the C++ gather merges consecutive-row
+        # runs into streaming copies (bagio.cpp gather_rows_stream)
+        assert (np.diff(idx[j]) >= 0).all()
     # exactly-t bags draw a permutation of [0, t)
     np.testing.assert_array_equal(np.sort(idx[4]), np.arange(t))
     # deterministic under the loader's seeded rng
@@ -360,4 +363,45 @@ def test_batch_indices_numpy_fallback_wor(tmp_path, native_lib, monkeypatch):
     assert idx.shape == (2, 16)
     assert len(np.unique(idx[0])) == 16 and idx[0].max() < 48  # WOR
     assert idx[1].max() < 9 and idx[1].min() >= 0  # with replacement
+    # fallback honors the same sorted-emission contract as the native sampler
+    assert (np.diff(idx, axis=1) >= 0).all()
     ld.close()
+
+
+def test_native_sampler_uniform_wor(native_lib):
+    """The selection-sampling WOR draw (bagio.cpp bag_sample_indices,
+    Knuth Algorithm S) must select every row with probability t/n and emit
+    ascending indices. 4000 seeds x (n=50, t=20): per-row frequency within
+    5 sigma of 0.4, output strictly increasing."""
+    from madeleine_tpu.native.bagio import sample_indices
+
+    n, t, reps = 50, 20, 4000
+    counts = np.zeros(n, np.int64)
+    for seed in range(reps):
+        idx = sample_indices(seed, np.array([n], np.int64), t)
+        assert idx is not None
+        row = idx[0]
+        assert (np.diff(row) > 0).all()  # strictly ascending = WOR + sorted
+        counts[row] += 1
+    p = t / n
+    sigma = np.sqrt(reps * p * (1 - p))
+    assert np.abs(counts - reps * p).max() < 5 * sigma, counts
+
+
+def test_native_sampler_uniform_with_replacement(native_lib):
+    """Short bags (n < t) draw with replacement; each draw uniform over n
+    rows, emitted sorted (counting sort)."""
+    from madeleine_tpu.native.bagio import sample_indices
+
+    n, t, reps = 7, 24, 2000
+    counts = np.zeros(n, np.int64)
+    for seed in range(reps):
+        idx = sample_indices(seed, np.array([n], np.int64), t)
+        row = idx[0]
+        assert (np.diff(row) >= 0).all()
+        assert row.min() >= 0 and row.max() < n
+        np.add.at(counts, row, 1)
+    total = reps * t
+    p = 1.0 / n
+    sigma = np.sqrt(total * p * (1 - p))
+    assert np.abs(counts - total * p).max() < 5 * sigma, counts
