@@ -18,6 +18,11 @@ Line 4: END-TO-END disk -> BucketedBagLoader -> run_inference throughput.
 NOTE: under the axon tunnel host->device is ~12 MB/s (measured round 4), so
 this line measures the tunnel, not the system; production numbers are bounded
 by line 1.
+
+Line 5: on-chip train-kernel verification (scripts/verify_train_kernels.py):
+per-kernel pass/fail incl. the rate>0 dropout paths and the fwd/bwd
+mask-regeneration identity; also written to VERIFY.json. A PRNG-path
+regression flips this line red even while the CPU suite stays green.
 """
 
 import json
@@ -116,6 +121,7 @@ def main() -> None:
     bench_train_step_device(cfg)
     bench_native_loader()
     bench_end_to_end(params, cfg)
+    bench_kernel_verification()
 
 
 def bench_train_step_device(cfg) -> None:
@@ -296,6 +302,32 @@ def bench_end_to_end(params, cfg) -> None:
         }), flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_kernel_verification() -> None:
+    """Hardware verification of every training-path kernel (incl. rate>0
+    dropout mask regeneration) — recorded per round so a PRNG regression
+    cannot hide behind the (rate=0-only) CPU suite."""
+    import jax
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from verify_train_kernels import run_all
+
+    results = run_all()
+    passed = sum(r["ok"] for r in results)
+    artifact = {"backend": jax.default_backend(), "passed": passed,
+                "total": len(results), "checks": results}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "VERIFY.json"), "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({
+        "metric": "train_kernel_verification",
+        "value": passed,
+        "unit": f"kernel checks passed of {len(results)}",
+        "vs_baseline": round(passed / len(results), 3),
+        "failed": [r["check"] for r in results if not r["ok"]],
+    }), flush=True)
 
 
 if __name__ == "__main__":

