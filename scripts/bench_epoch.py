@@ -116,6 +116,43 @@ def bench_loader_only(csv_path: str, data_dir: str, batch: int,
             "first_epoch_s_per_batch": epochs[0]["s_per_batch"]}
 
 
+def bench_threads_sweep(csv_path: str, data_dir: str, batch: int,
+                        sample: int, d: int,
+                        thread_counts=(1, 2, 4, 8)) -> dict:
+    """Assembly rate vs worker-pool size (the 8-chip DP feed-budget table:
+    per-host feed must scale ~8x for 8-way data parallelism; gather tasks
+    are independent memcpys, so the pool scales with real cores — this
+    host has nproc=os.cpu_count()). Steady-state: median of 8 batches
+    after a warm epoch."""
+    from madeleine_tpu.native.dataset import NativeTrainLoader
+
+    sweep = {}
+    for nt in thread_counts:
+        loader = NativeTrainLoader(csv_path, data_dir, MODS,
+                                   embedding_size=d, sample=sample,
+                                   batch_size=batch, shuffle=False,
+                                   out_dtype="bfloat16", n_threads=nt)
+        for b in loader:  # warm sweep: page-faults + ring first-touch
+            pass
+        times = []
+        it = iter(loader)
+        for _ in range(8):
+            t0 = time.time()
+            try:
+                b = next(it)
+            except StopIteration:
+                it = iter(loader)
+                b = next(it)
+            times.append(time.time() - t0)
+        nbytes = b["feats"].nbytes
+        med = float(np.median(times))
+        sweep[str(nt)] = {"s_per_batch": round(med, 4),
+                          "gb_s": round(nbytes / med / 1e9, 2)}
+        loader.close()
+    return {"metric": "loader_threads_sweep", "cpu_count": os.cpu_count(),
+            "batch_gb": round(nbytes / 1e9, 3), "threads": sweep}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cases", type=int, default=4211)
@@ -128,6 +165,10 @@ def main() -> int:
     ap.add_argument("--data_dir", default="/tmp/madeleine_epoch_cohort")
     ap.add_argument("--results_dir", default="/tmp/madeleine_epoch_results")
     ap.add_argument("--loader-only", action="store_true")
+    ap.add_argument("--threads_sweep", action="store_true",
+                    help="also measure assembly rate at n_threads 1/2/4/8 "
+                         "(the per-host feed-scaling table for multi-chip "
+                         "DP, docs/DEPLOYMENT.md)")
     ap.add_argument("--skip-loader", action="store_true",
                     help="skip the loader-only pass (already measured)")
     ap.add_argument("--fed_cases", type=int, default=0,
@@ -150,6 +191,10 @@ def main() -> int:
         print(json.dumps({"metric": "loader_only_epoch", **host}), flush=True)
     else:
         host = {"s_per_batch": None}
+    if args.threads_sweep:
+        print(json.dumps(bench_threads_sweep(
+            csv_path, args.data_dir, args.batch, args.sample, args.d)),
+            flush=True)
     if args.loader_only:
         if args.clean:
             shutil.rmtree(args.data_dir, ignore_errors=True)
