@@ -23,6 +23,7 @@ import argparse
 import json
 import os
 import shutil
+import struct
 import subprocess
 import sys
 import time
@@ -39,7 +40,12 @@ def build_cohort(data_dir: str, n_cases: int, d: int, min_t: int, max_t: int,
                  seed: int = 0) -> str:
     """Synthetic cohort: every case has HE, each IHC present w.p. 0.8
     (ACROBAT-realistic availability). Bag content slices a shared random
-    pool — loader performance only depends on bytes, not values."""
+    pool — loader performance only depends on bytes, not values.
+
+    Fast + resumable: the bf16 payload pool is converted ONCE (per-file cost
+    is then header + one buffered write), and files already on disk at the
+    right size are skipped while the RNG stream advances identically — an
+    interrupted build continues where it left off."""
     import pandas as pd
 
     from madeleine_tpu.native import bagio
@@ -51,6 +57,10 @@ def build_cohort(data_dir: str, n_cases: int, d: int, min_t: int, max_t: int,
     os.makedirs(data_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     pool = rng.standard_normal((2 * max_t, d)).astype(np.float32)
+    # one-shot f32->bf16 truncation (matches bagio.write_bag_file's storage
+    # conversion); per-file work drops to a slice + write
+    pool_u16 = (((pool.view(np.uint32) + 0x8000) >> 16)
+                .astype(np.uint16))
     rows = []
     t0 = time.time()
     for i in range(n_cases):
@@ -62,12 +72,20 @@ def build_cohort(data_dir: str, n_cases: int, d: int, min_t: int, max_t: int,
             if present:
                 n = int(rng.integers(min_t, max_t))
                 off = int(rng.integers(0, max_t))
-                bagio.write_bag_file(
-                    os.path.join(data_dir, f"{sid}_{m}.bag"),
-                    pool[off:off + n], dtype="bfloat16")
+                path = os.path.join(data_dir, f"{sid}_{m}.bag")
+                want = 40 + n * d * 2
+                if (os.path.exists(path)
+                        and os.path.getsize(path) == want):
+                    continue  # resume: deterministic content, already built
+                header = struct.pack("<IIQQIIQ", bagio.MAGIC, 1, n, d,
+                                     bagio.DTYPE_BF16, 0, 0)
+                with open(path, "wb") as f:
+                    f.write(header)
+                    f.write(pool_u16[off:off + n].tobytes())
         rows.append(row)
         if i % 500 == 0:
-            print(f"  ... {i}/{n_cases} cases ({time.time() - t0:.0f}s)")
+            print(f"  ... {i}/{n_cases} cases ({time.time() - t0:.0f}s)",
+                  flush=True)
     pd.DataFrame(rows).to_csv(csv_path, index=False)
     print(f"* cohort built in {time.time() - t0:.0f}s "
           f"({n_cases} cases, disk {du_gb(data_dir):.1f} GB)")
@@ -92,10 +110,11 @@ def bench_loader_only(csv_path: str, data_dir: str, batch: int,
                                sample=sample, batch_size=batch, shuffle=True,
                                out_dtype="bfloat16")
     # epoch 0 pays the first-touch page faults of the whole cohort's mmaps
-    # (one-time per process); epoch 1 is the steady state a training run
-    # actually sees from its second epoch on. Report both.
+    # (one-time per process) and epoch 1 still carries residual page-table /
+    # THP population (measured: 0.23 s/batch vs the true 0.13 s steady
+    # state); epoch 2+ is what a 120-epoch training run actually sees.
     epochs = []
-    for ep in range(2):
+    for ep in range(3):
         loader.set_epoch(ep)
         n, nbytes = 0, 0
         it = Prefetcher(loader)
@@ -108,10 +127,11 @@ def bench_loader_only(csv_path: str, data_dir: str, batch: int,
                        "assembly_gb_s": nbytes / dt / 1e9,
                        "epoch_s": dt})
     loader.close()
-    return {"batches": epochs[1]["batches"],
-            "s_per_batch": epochs[1]["s_per_batch"],
-            "assembly_gb_s": epochs[1]["assembly_gb_s"],
-            "epoch_s_loader_only": epochs[1]["epoch_s"],
+    return {"batches": epochs[-1]["batches"],
+            "s_per_batch": epochs[-1]["s_per_batch"],
+            "assembly_gb_s": epochs[-1]["assembly_gb_s"],
+            "epoch_s_loader_only": epochs[-1]["epoch_s"],
+            "epoch_s_each": [round(e["epoch_s"], 1) for e in epochs],
             "first_epoch_s": epochs[0]["epoch_s"],
             "first_epoch_s_per_batch": epochs[0]["s_per_batch"]}
 
