@@ -146,10 +146,12 @@ def forward_train(
         """Route through the whole-encoder train kernel (ops/encoder_train.py):
         pre-attn MLP + gates + pool + token projector in ONE fwd and ONE bwd
         Pallas call — the [*, t, hidden*nh] features and their three summed
-        cotangents never touch HBM."""
+        cotangents never touch HBM. Covers n_views 1 AND 3 (the half-bag
+        views are two extra bias columns + per-view accumulators in the same
+        kernels); non-softmax activations take the per-op fallback chain."""
         import os as _os
 
-        return (train and drop_key is not None and n_views == 1
+        return (train and drop_key is not None and n_views in (1, 3)
                 and cfg.activation == "softmax" and use_pallas is not False
                 and jax.default_backend() == "tpu"
                 and not _os.environ.get("MADELEINE_NO_FUSED_ENCODER"))
@@ -159,12 +161,21 @@ def forward_train(
 
         seed = jax.random.randint(drop_key, (), 0,
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        half_mask = None
+        if n_views == 3:
+            # shared random disjoint half-bag split, same construction as the
+            # unfused path (abmil_embed) so both routes pool identical views
+            perm = jax.random.permutation(view_rng, t)
+            ranks = jnp.zeros((t,), jnp.int32).at[perm].set(
+                jnp.arange(t, dtype=jnp.int32))
+            half_mask = ranks < t // 2
         # dx (input-feature grad) is dead unless x carries the learned
         # stain-encoding columns — skip its matmul + HBM write statically
         return encoder_train(x, params["wsi_embedders"]["pre_attn"],
                              params["wsi_embedders"]["attn"],
                              params["token_projector"], mask_m, seed,
-                             need_dx=bool(cfg.add_stain_encoding))
+                             need_dx=bool(cfg.add_stain_encoding),
+                             half_mask=half_mask)
 
     def _per_modality(feats_m, mask_m, mod_idx, drop_key):
         """One modality's [bs, t, d] bags -> (slide [bs, nv, e], tokens
@@ -180,8 +191,9 @@ def forward_train(
         if _use_fused_encoder(drop_key):
             pooled, tok_emb = _fused_tail(x, mask_m, drop_key)
             nh, e = pooled.shape[-2], pooled.shape[-1]
+            nv = 1 if pooled.ndim == 3 else pooled.shape[1]
             slide_emb = _linear(params["projector"],
-                                pooled.reshape(bs, 1, nh * e))
+                                pooled.reshape(bs, nv, nh * e))
             return slide_emb, tok_emb
         pooled, tokens = abmil_embed(
             params["wsi_embedders"], x,
@@ -216,8 +228,9 @@ def forward_train(
         if _use_fused_encoder(drop_rng):
             pooled, tok_emb = _fused_tail(x, mask_f, drop_rng)
             nh, e = pooled.shape[-2], pooled.shape[-1]
+            nv = 1 if pooled.ndim == 3 else pooled.shape[1]
             slide_emb = _linear(params["projector"],
-                                pooled.reshape(bs * n_mod, 1, nh * e))
+                                pooled.reshape(bs * n_mod, nv, nh * e))
             return (slide_emb.reshape(bs, n_mod, *slide_emb.shape[1:]),
                     tok_emb.reshape(bs, n_mod, t, tok_emb.shape[-1]))
         pooled, tokens = abmil_embed(

@@ -149,7 +149,7 @@ def _gate_logits_block(y, mb, wa, ba, wb, bb, wc, bc, base_gate, gate_rate,
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(seed_ref, x_ref, mb_ref,
+def _fwd_kernel(seed_ref, x_ref, mb_ref, vb_ref,
                 w1_ref, b1_ref, s1_ref, t1_ref,
                 w2_ref, b2_ref, s2_ref, t2_ref,
                 w3_ref, b3_ref, s3_ref, t3_ref,
@@ -157,7 +157,7 @@ def _fwd_kernel(seed_ref, x_ref, mb_ref,
                 wt_ref, bt_ref,
                 pooled_ref, m_ref, s_ref, tok_ref, l_ref,
                 *rest,
-                e: int, nh: int, pre_rate: float, gate_rate: float,
+                e: int, nh: int, nv: int, pre_rate: float, gate_rate: float,
                 save_acts: bool = False):
     if save_acts:  # extra outputs: packed activations + LN rstd stats
         sv_ref, rstd_ref, m_acc, s_acc, w_acc = rest
@@ -203,15 +203,21 @@ def _fwd_kernel(seed_ref, x_ref, mb_ref,
             axis=1)
         rstd_ref[0] = jnp.concatenate([r1[1], r2[1], r3[1]], axis=1)
 
-    # online-softmax pooling over y (ref: Model.py:406-417)
-    m_old = m_acc[...]
-    m_new = jnp.maximum(m_old, jnp.max(l, axis=0, keepdims=True))
-    alpha = jnp.exp(m_old - m_new)
-    p = jnp.exp(l - m_new)
-    m_acc[...] = m_new
-    s_acc[...] = s_acc[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
-    w_acc[...] = (w_acc[...] * _tile_heads(alpha, e)
-                  + jnp.sum(y32 * _tile_heads(p, e), axis=0, keepdims=True))
+    # online-softmax pooling over y (ref: Model.py:406-417); view 0 = whole
+    # bag, views 1/2 (n_views=3, ref Model.py:419-440) re-softmax the SAME
+    # logits over two disjoint half-bags via the vb bias columns
+    for v in range(nv):
+        lv = l if v == 0 else l + vb_ref[0][:, v - 1:v]
+        m_old = m_acc[v:v + 1]
+        m_new = jnp.maximum(m_old, jnp.max(lv, axis=0, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(lv - m_new)
+        m_acc[v:v + 1] = m_new
+        s_acc[v:v + 1] = s_acc[v:v + 1] * alpha + jnp.sum(p, axis=0,
+                                                          keepdims=True)
+        w_acc[v:v + 1] = (w_acc[v:v + 1] * _tile_heads(alpha, e)
+                          + jnp.sum(y32 * _tile_heads(p, e), axis=0,
+                                    keepdims=True))
 
     @pl.when(tb == pl.num_programs(1) - 1)
     def _finalize():
@@ -225,9 +231,9 @@ def _fwd_kernel(seed_ref, x_ref, mb_ref,
 # Backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(seed_ref, x_ref, l_ref, dtok_ref, g_ref, inner_ref,
+def _bwd_kernel(seed_ref, x_ref, l_ref, vb_ref, dtok_ref, g_ref, inner_ref,
                 m_ref, s_ref, *rest,
-                e: int, nh: int, pre_rate: float, gate_rate: float,
+                e: int, nh: int, nv: int, pre_rate: float, gate_rate: float,
                 need_dx: bool, save_acts: bool = False):
     if save_acts:  # extra inputs: forward-saved activations
         sv_ref, rstd_ref = rest[:2]
@@ -300,11 +306,20 @@ def _bwd_kernel(seed_ref, x_ref, l_ref, dtok_ref, g_ref, inner_ref,
             _recompute_stack(x, seed_ref, w_refs, pre_rate, nh)
     y = y32.astype(dt)
 
-    g = g_ref[0]                                            # [1, E] f32
-    # pool backward (softmax VJP off saved (m, s); ops/attn_pool.py math)
-    p = jnp.exp(l_ref[0] - m_ref[0]) / s_ref[0]             # [T, nh]
-    dy_scratch[...] = _tile_heads(p, e) * g                 # pool dx term
-    dl = p * (_head_sums(y32 * g, e, nh) - inner_ref[0])    # [T, nh]
+    # pool backward per view (softmax VJP off saved (m, s) per view;
+    # ops/attn_pool.py math — the views share l, so dl sums across them)
+    l0 = l_ref[0]
+    dl = jnp.zeros_like(l0)
+    for v in range(nv):
+        lv = l0 if v == 0 else l0 + vb_ref[0][:, v - 1:v]
+        g = g_ref[0][v:v + 1]                               # [1, E] f32
+        p = jnp.exp(lv - m_ref[0][v:v + 1]) / s_ref[0][v:v + 1]  # [T, nh]
+        contrib = _tile_heads(p, e) * g                     # pool dx term
+        if v == 0:
+            dy_scratch[...] = contrib
+        else:
+            dy_scratch[...] += contrib
+        dl += p * (_head_sums(y32 * g, e, nh) - inner_ref[0][v:v + 1])
     dl_ref[0] = dl
 
     # token projector backward
@@ -389,9 +404,10 @@ def _wspecs(shapes):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "e", "nh", "pre_rate", "gate_rate", "t_block", "save_acts", "interpret"))
-def _fwd_call(x, mask_bias, seed, wargs, *, e, nh, pre_rate, gate_rate,
-              t_block, save_acts=False, interpret=False):
+    "e", "nh", "nv", "pre_rate", "gate_rate", "t_block", "save_acts",
+    "interpret"))
+def _fwd_call(x, mask_bias, view_bias, seed, wargs, *, e, nh, nv, pre_rate,
+              gate_rate, t_block, save_acts=False, interpret=False):
     b, t, d_in = x.shape
     E = e * nh
     d_out = wargs[-2].shape[1]
@@ -400,6 +416,7 @@ def _fwd_call(x, mask_bias, seed, wargs, *, e, nh, pre_rate, gate_rate,
     sv_cols = 2 * h + E + 2 * nh * f
     x_p, nt, t_pad = _pad_t(x, t_block)
     mb_p, _, _ = _pad_t(mask_bias, t_block, fill=NEG_INF)
+    vb_p, _, _ = _pad_t(view_bias, t_block, fill=NEG_INF)
     save_specs, save_shapes = (), ()
     if save_acts:
         save_specs = (
@@ -413,7 +430,7 @@ def _fwd_call(x, mask_bias, seed, wargs, *, e, nh, pre_rate, gate_rate,
             jax.ShapeDtypeStruct((b, t + t_pad, 3), jnp.float32),
         )
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, e=e, nh=nh, pre_rate=pre_rate,
+        functools.partial(_fwd_kernel, e=e, nh=nh, nv=nv, pre_rate=pre_rate,
                           gate_rate=gate_rate, save_acts=save_acts),
         grid=(b, nt),
         in_specs=[
@@ -422,14 +439,16 @@ def _fwd_call(x, mask_bias, seed, wargs, *, e, nh, pre_rate, gate_rate,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_block, nh), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_block, 2), lambda i, j: (0, j, 0),
+                         memory_space=pltpu.VMEM),
             *_wspecs([w.shape for w in wargs]),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, E), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, nv, E), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nh), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, nv, nh), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nh), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, nv, nh), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_block, d_out), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -438,17 +457,17 @@ def _fwd_call(x, mask_bias, seed, wargs, *, e, nh, pre_rate, gate_rate,
             *save_specs,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, 1, E), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, nh), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, nh), jnp.float32),
+            jax.ShapeDtypeStruct((b, nv, E), jnp.float32),
+            jax.ShapeDtypeStruct((b, nv, nh), jnp.float32),
+            jax.ShapeDtypeStruct((b, nv, nh), jnp.float32),
             jax.ShapeDtypeStruct((b, t + t_pad, d_out), x.dtype),
             jax.ShapeDtypeStruct((b, t + t_pad, nh), jnp.float32),
             *save_shapes,
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, nh), jnp.float32),
-            pltpu.VMEM((1, nh), jnp.float32),
-            pltpu.VMEM((1, E), jnp.float32),
+            pltpu.VMEM((nv, nh), jnp.float32),
+            pltpu.VMEM((nv, nh), jnp.float32),
+            pltpu.VMEM((nv, E), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * (t + t_pad)
@@ -464,7 +483,7 @@ def _fwd_call(x, mask_bias, seed, wargs, *, e, nh, pre_rate, gate_rate,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed.reshape(1), x_p, mb_p, *wargs)
+    )(seed.reshape(1), x_p, mb_p, vb_p, *wargs)
     pooled, m, s, tok, l = outs[:5]
     saved = outs[5:] if save_acts else (None, None)
     return pooled, m, s, tok[:, :t], l, saved
@@ -499,7 +518,8 @@ def encoder_train(x: jnp.ndarray, pre, attn, tokp,
                   gate_rate: float = GATE_RATE,
                   t_block: int = DEFAULT_T_BLOCK,
                   need_dx: bool = True,
-                  save_acts: Optional[bool] = None):
+                  save_acts: Optional[bool] = None,
+                  half_mask: Optional[jnp.ndarray] = None):
     """Fused training-mode encoder.
 
     x: [b, t, d_in]; pre/attn: abmil subtrees; tokp: token_projector {w, b};
@@ -509,11 +529,17 @@ def encoder_train(x: jnp.ndarray, pre, attn, tokp,
     True = forward saves (u, rstd, a_pre, b_pre) so the backward skips the
     whole forward recompute; None = auto (on when the saved tensor fits
     ACT_BUDGET_BYTES); False = recompute (O(x) residual memory).
-    Returns (pooled [b, nh, e] in x.dtype, tok [b, t, d_out] in x.dtype).
+    half_mask: optional [t] bool — the shared half-bag split for the
+    intra-modality n_views=3 config (ref Model.py:419-440): view 1 pools
+    over half_mask tokens, view 2 over its complement, both re-softmaxing
+    the SAME gated logits (two extra bias columns + per-view accumulators
+    in the same kernels — no fallback to the unfused chain).
+    Returns (pooled [b, nh, e] — or [b, 3, nh, e] with half_mask — in
+    x.dtype, tok [b, t, d_out] in x.dtype).
     """
     (pooled, tok), _ = _enc_fwd(x, pre, attn, tokp, mask, seed,
                                 pre_rate, gate_rate, t_block, need_dx,
-                                save_acts)
+                                save_acts, half_mask)
     return pooled, tok
 
 
@@ -525,41 +551,54 @@ def _mask_bias(mask, b, t, nh):
         jnp.where(m[..., None], 0.0, NEG_INF), (b, t, nh)).astype(jnp.float32)
 
 
+def _view_bias(half_mask, t):
+    """[t] bool half split -> [1, t, 2] f32 bias (0 in-view, NEG_INF out)."""
+    if half_mask is None:
+        return jnp.zeros((1, t, 2), jnp.float32)
+    hm = half_mask.reshape(t).astype(bool)
+    return jnp.stack([jnp.where(hm, 0.0, NEG_INF),
+                      jnp.where(hm, NEG_INF, 0.0)], axis=-1)[None]
+
+
 def _enc_fwd(x, pre, attn, tokp, mask, seed, pre_rate, gate_rate, t_block,
-             need_dx=True, save_acts=None):
+             need_dx=True, save_acts=None, half_mask=None):
     b, t, _ = x.shape
     nh, e, f = attn["wa"].shape
     h = pre["fc1"]["w"].shape[1]
+    nv = 1 if half_mask is None else 3
     save = _resolve_save_acts(save_acts, b, t, h, e * nh, 2 * nh * f,
                               x.dtype.itemsize,
                               x_bytes=x.size * x.dtype.itemsize)
     wargs = _weight_args(pre, attn, tokp, x.dtype)
+    vb = _view_bias(half_mask, t)
     pooled32, m, s, tok, l, saved = _fwd_call(
-        x, _mask_bias(mask, b, t, nh), seed, wargs,
-        e=e, nh=nh, pre_rate=pre_rate, gate_rate=gate_rate,
+        x, _mask_bias(mask, b, t, nh), vb, seed, wargs,
+        e=e, nh=nh, nv=nv, pre_rate=pre_rate, gate_rate=gate_rate,
         t_block=t_block, save_acts=save, interpret=_interp())
-    pooled = pooled32.reshape(b, nh, e).astype(x.dtype)
-    res = (x, pre, attn, tokp, seed, l, m, s, pooled32, saved)
+    pooled = (pooled32.reshape(b, nh, e) if nv == 1
+              else pooled32.reshape(b, nv, nh, e)).astype(x.dtype)
+    res = (x, pre, attn, tokp, seed, l, m, s, pooled32, saved, vb)
     return (pooled, tok), res
 
 
 def _enc_bwd(pre_rate, gate_rate, t_block, need_dx, save_acts, res, cots):
-    x, pre, attn, tokp, seed, l, m, s, pooled32, saved = res
+    x, pre, attn, tokp, seed, l, m, s, pooled32, saved, vb = res
     dpooled, dtok = cots
     b, t, _ = x.shape
     nh, e, f = attn["wa"].shape
     E = nh * e
+    nv = pooled32.shape[1]
     wargs = _weight_args(pre, attn, tokp, x.dtype)
     # drop the gate bias + tok bias entries not needed by the bwd kernel:
     # bwd takes (pre 12, wa, ba, wb, bb, wc [no bc], wt [no bt])
     wargs_bwd = wargs[:16] + (wargs[16], wargs[18])
-    g_flat = dpooled.astype(jnp.float32).reshape(b, 1, E)
+    g_flat = dpooled.astype(jnp.float32).reshape(b, nv, E)
     inner = jnp.sum(
-        g_flat.reshape(b, nh, e) * pooled32.reshape(b, nh, e),
-        axis=-1).reshape(b, 1, nh)
+        g_flat.reshape(b, nv, nh, e) * pooled32.reshape(b, nv, nh, e),
+        axis=-1).reshape(b, nv, nh)
     outs = _bwd_dispatch(
-        x, l, dtok.astype(x.dtype), g_flat, inner, m, s, seed, wargs_bwd,
-        e=e, nh=nh, d_out=tokp["w"].shape[1],
+        x, l, vb, dtok.astype(x.dtype), g_flat, inner, m, s, seed, wargs_bwd,
+        e=e, nh=nh, nv=nv, d_out=tokp["w"].shape[1],
         pre_rate=pre_rate, gate_rate=gate_rate, t_block=t_block,
         need_dx=need_dx, saved=saved)
     (dx, dl, dw1, db1, ds1, dt1, dw2, db2, ds2, dt2, dw3, db3, ds3, dt3,
@@ -589,23 +628,24 @@ def _enc_bwd(pre_rate, gate_rate, t_block, need_dx, save_acts, res, cots):
     d_tokp = {"w": like(dwt, tokp["w"]), "b": like(dbt, tokp["b"])}
     if dx is None:  # need_dx=False: zero cotangent, DCE'd when x is a leaf
         dx = jnp.zeros_like(x)
-    return dx, d_pre, d_attn, d_tokp, None, None
+    return dx, d_pre, d_attn, d_tokp, None, None, None
 
 
 encoder_train.defvjp(_enc_fwd, _enc_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "e", "nh", "d_out", "pre_rate", "gate_rate", "t_block", "need_dx"))
-def _bwd_dispatch(x, l, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
-                  e, nh, d_out, pre_rate, gate_rate, t_block, need_dx=True,
-                  saved=(None, None)):
+    "e", "nh", "nv", "d_out", "pre_rate", "gate_rate", "t_block", "need_dx"))
+def _bwd_dispatch(x, l, vb, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
+                  e, nh, nv, d_out, pre_rate, gate_rate, t_block,
+                  need_dx=True, saved=(None, None)):
     b, t, d_in = x.shape
     E = e * nh
     h = wargs_bwd[0].shape[1]
     f = wargs_bwd[12].shape[-1]
     x_p, nt, t_pad = _pad_t(x, t_block)
     l_p, _, _ = _pad_t(l, t_block, fill=NEG_INF)
+    vb_p, _, _ = _pad_t(vb, t_block, fill=NEG_INF)
     dtok_p, _, _ = _pad_t(dtok, t_block)
     f32 = jnp.float32
     save_acts = saved[0] is not None
@@ -635,7 +675,7 @@ def _bwd_dispatch(x, l, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
     dx_shape = jax.ShapeDtypeStruct(
         (b, t + t_pad, d_in) if need_dx else (b, 1, d_in), x.dtype)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, e=e, nh=nh, pre_rate=pre_rate,
+        functools.partial(_bwd_kernel, e=e, nh=nh, nv=nv, pre_rate=pre_rate,
                           gate_rate=gate_rate, need_dx=need_dx,
                           save_acts=save_acts),
         grid=(b, nt),
@@ -645,15 +685,17 @@ def _bwd_dispatch(x, l, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_block, nh), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_block, 2), lambda i, j: (0, j, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_block, d_out), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, E), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, nv, E), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nh), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, nv, nh), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nh), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, nv, nh), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nh), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, nv, nh), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             *saved_specs,
             *_wspecs([w.shape for w in wargs_bwd]),
@@ -681,7 +723,7 @@ def _bwd_dispatch(x, l, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interp(),
-    )(seed.reshape(1), x_p, l_p, dtok_p, g_flat, inner, m, s,
+    )(seed.reshape(1), x_p, l_p, vb_p, dtok_p, g_flat, inner, m, s,
       *saved_args, *wargs_bwd)
     dx = outs[0][:, :t] if need_dx else None
     dl = outs[1][:, :t]

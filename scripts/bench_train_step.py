@@ -33,6 +33,13 @@ def main() -> None:
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--no-scan", action="store_true",
                     help="joint [bs*n_mod] embedder batch (cfg.modality_scan=False)")
+    ap.add_argument("--n_views", type=int, default=1, choices=(1, 3),
+                    help="3 = intra-modality training config (whole bag + two "
+                         "half-bag views, ref Model.py:419-440); routes to the "
+                         "unfused path unless the fused kernel covers it")
+    ap.add_argument("--activation", default="softmax",
+                    choices=("softmax", "relu", "sigmoid", "leaky_relu"),
+                    help="non-softmax picks the unfused fallback chain")
     ap.add_argument("--profile-dir", default=None)
     args = ap.parse_args()
 
@@ -49,6 +56,10 @@ def main() -> None:
         cfg.remat = False
     if args.no_scan:
         cfg.modality_scan = False
+    if args.n_views == 3:
+        # the trainer derives n_views from the intra-modality loss flag
+        cfg.intra_modality_loss = "info-nce"
+    cfg.activation = args.activation
 
     params = init_madeleine_params(jax.random.PRNGKey(0), cfg)
     tx, _ = make_optimizer(cfg, steps_per_epoch=64)
@@ -90,7 +101,8 @@ def main() -> None:
     print(f"loss={float(m['loss']):.4f} skipped={bool(m['skipped'])}")
     print(f"step time: median {np.median(times)*1e3:.1f} ms  "
           f"min {times.min()*1e3:.1f} ms  mean {times.mean()*1e3:.1f} ms "
-          f"(bs={bs}, {n_mod} stains, {t} tok, remat={cfg.remat})")
+          f"(bs={bs}, {n_mod} stains, {t} tok, remat={cfg.remat}, "
+          f"n_views={args.n_views}, activation={cfg.activation})")
     ep = np.median(times) * (4211 // bs + 1)
     print(f"-> est. ACROBAT epoch {ep:.1f} s, 120 epochs {ep*120/60:.1f} min "
           f"on ONE chip")

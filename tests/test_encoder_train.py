@@ -114,6 +114,76 @@ def test_ragged_tail_padding(setup):
                                rtol=1e-5, atol=1e-5)
 
 
+def _unfused_views(pre, attn, tokp, x, mask, half):
+    """Reference composition of the n_views=3 intra-modality config
+    (ref Model.py:419-440): whole bag + two disjoint half-bag re-softmax
+    views of the SAME gated logits."""
+    from madeleine_tpu.models.abmil import (
+        gated_attention_logits,
+        pre_attn_mlp,
+    )
+    from madeleine_tpu.ops.attn_pool import _pool_reference
+
+    b, t, _ = x.shape
+    y = pre_attn_mlp(pre, x, train=False)
+    xh = y.reshape(b, t, NH, E)
+    logits = gated_attention_logits(attn, xh, train=False)
+    m1 = half[None, :] if mask is None else (mask & half[None, :])
+    m2 = (~half)[None, :] if mask is None else (mask & ~half[None, :])
+    pooled = jnp.stack([_pool_reference(xh, logits, mask, "softmax"),
+                        _pool_reference(xh, logits, m1, "softmax"),
+                        _pool_reference(xh, logits, m2, "softmax")], axis=1)
+    tok = jnp.dot(y, tokp["w"], precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32).astype(x.dtype) \
+        + tokp["b"]
+    return pooled, tok
+
+
+@pytest.mark.parametrize("masked", [False, True], ids=["dense", "ragged"])
+def test_multiview_forward_and_grads(setup, masked):
+    """n_views=3 in the fused kernels (half-bag bias columns + per-view
+    accumulators) vs the unfused composition — forward and full gradients."""
+    from madeleine_tpu.ops.encoder_train import encoder_train
+
+    params, tokp, x, mask = setup
+    m = mask if masked else None
+    rng = np.random.default_rng(5)
+    half = np.zeros(T, bool)
+    half[rng.permutation(T)[: T // 2]] = True
+    half_j = jnp.asarray(half)
+
+    want_p, want_t = _unfused_views(params["pre_attn"], params["attn"],
+                                    tokp, x, m, half_j)
+    got_p, got_t = encoder_train(x, params["pre_attn"], params["attn"], tokp,
+                                 m, jnp.int32(7), 0.0, 0.0, T_BLOCK, True,
+                                 None, half_j)
+    assert got_p.shape == (B, 3, NH, E)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_f(x, pre, attn, tokp):
+        p, t = encoder_train(x, pre, attn, tokp, m, jnp.int32(7), 0.0, 0.0,
+                             T_BLOCK, True, None, half_j)
+        return jnp.sum(jnp.sin(p)) + jnp.sum(jnp.cos(t) * 0.01)
+
+    def loss_r(x, pre, attn, tokp):
+        p, t = _unfused_views(pre, attn, tokp, x, m, half_j)
+        return jnp.sum(jnp.sin(p)) + jnp.sum(jnp.cos(t) * 0.01)
+
+    args = (x, params["pre_attn"], params["attn"], tokp)
+    gf = jax.grad(loss_f, argnums=(0, 1, 2, 3))(*args)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(*args)
+    for (path, vf), (_, vr) in zip(
+            jax.tree_util.tree_flatten_with_path(gf)[0],
+            jax.tree_util.tree_flatten_with_path(gr)[0]):
+        scale = max(1.0, float(jnp.max(jnp.abs(vr))))
+        np.testing.assert_allclose(
+            np.asarray(vf), np.asarray(vr), rtol=2e-4, atol=2e-4 * scale,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_need_dx_false_same_weight_grads(setup):
     """need_dx=False (canonical no-stain-encoding config) must change NOTHING
     except dx: weight grads bit-identical to need_dx=True, dx symbolic zero."""
