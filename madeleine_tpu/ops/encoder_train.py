@@ -130,7 +130,8 @@ def _recompute_stack(x, seed_ref, w_refs, pre_rate, nh):
 def _gate_logits_block(y, mb, wa, ba, wb, bb, wc, bc, base_gate, gate_rate,
                        nh, e, prec):
     """Masked logits [T, nh] (f32) with in-kernel gate dropout. Also returns
-    the pre-dropout branch activations (for save_acts residuals)."""
+    the pre-dropout branch activations (for save_acts residuals). mb is a
+    [T, 1] bias (lane-broadcast across heads) or None (no mask, no padding)."""
     cols, aps, bps = [], [], []
     for h in range(nh):
         yh = y[:, h * e:(h + 1) * e]
@@ -142,23 +143,30 @@ def _gate_logits_block(y, mb, wa, ba, wb, bb, wc, bc, base_gate, gate_rate,
         g = a * b
         cols.append(jnp.sum(g * wc[h][None, :], axis=1, keepdims=True)
                     + bc[h][0])
-    return jnp.concatenate(cols, axis=1) + mb, aps, bps
+    l = jnp.concatenate(cols, axis=1)
+    return (l if mb is None else l + mb), aps, bps
 
 
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(seed_ref, x_ref, mb_ref, vb_ref,
-                w1_ref, b1_ref, s1_ref, t1_ref,
-                w2_ref, b2_ref, s2_ref, t2_ref,
-                w3_ref, b3_ref, s3_ref, t3_ref,
-                wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
-                wt_ref, bt_ref,
-                pooled_ref, m_ref, s_ref, tok_ref, l_ref,
-                *rest,
+def _fwd_kernel(seed_ref, x_ref, *rest,
                 e: int, nh: int, nv: int, pre_rate: float, gate_rate: float,
-                save_acts: bool = False):
+                save_acts: bool = False, has_mask: bool = True,
+                has_vb: bool = True):
+    i = 0
+    mb_ref = rest[i] if has_mask else None
+    i += int(has_mask)
+    vb_ref = rest[i] if has_vb else None
+    i += int(has_vb)
+    (w1_ref, b1_ref, s1_ref, t1_ref,
+     w2_ref, b2_ref, s2_ref, t2_ref,
+     w3_ref, b3_ref, s3_ref, t3_ref,
+     wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
+     wt_ref, bt_ref,
+     pooled_ref, m_ref, s_ref, tok_ref, l_ref) = rest[i:i + 25]
+    rest = rest[i + 25:]
     if save_acts:  # extra outputs: packed activations + LN rstd stats
         sv_ref, rstd_ref, m_acc, s_acc, w_acc = rest
     else:
@@ -188,7 +196,7 @@ def _fwd_kernel(seed_ref, x_ref, mb_ref, vb_ref,
 
     # gated logits (ref: abmil.py:41-52) with masked bias added
     l, aps, bps = _gate_logits_block(
-        y, mb_ref[0].astype(jnp.float32),
+        y, None if mb_ref is None else mb_ref[0].astype(jnp.float32),
         wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
         base + 3, gate_rate, nh, e, prec)
     l_ref[0] = l
@@ -231,10 +239,14 @@ def _fwd_kernel(seed_ref, x_ref, mb_ref, vb_ref,
 # Backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(seed_ref, x_ref, l_ref, vb_ref, dtok_ref, g_ref, inner_ref,
-                m_ref, s_ref, *rest,
+def _bwd_kernel(seed_ref, x_ref, l_ref, *rest,
                 e: int, nh: int, nv: int, pre_rate: float, gate_rate: float,
-                need_dx: bool, save_acts: bool = False):
+                need_dx: bool, save_acts: bool = False, has_vb: bool = True):
+    i = 0
+    vb_ref = rest[i] if has_vb else None
+    i += int(has_vb)
+    dtok_ref, g_ref, inner_ref, m_ref, s_ref = rest[i:i + 5]
+    rest = rest[i + 5:]
     if save_acts:  # extra inputs: forward-saved activations
         sv_ref, rstd_ref = rest[:2]
         rest = rest[2:]
@@ -243,11 +255,11 @@ def _bwd_kernel(seed_ref, x_ref, l_ref, vb_ref, dtok_ref, g_ref, inner_ref,
      w3_ref, b3_ref, s3_ref, t3_ref,
      wa_ref, ba_ref, wb_ref, bb_ref, wc_ref,
      wt_ref,
-     dx_ref, dl_ref,
+     dx_ref,
      dw1_ref, db1_ref, ds1_ref, dt1_ref,
      dw2_ref, db2_ref, ds2_ref, dt2_ref,
      dw3_ref, db3_ref, ds3_ref, dt3_ref,
-     dwa_ref, dba_ref, dwb_ref, dbb_ref, dwc_ref,
+     dwa_ref, dba_ref, dwb_ref, dbb_ref, dwc_ref, dbc_ref,
      dwt_ref, dbt_ref,
      dy_scratch) = rest
     is_first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
@@ -257,7 +269,7 @@ def _bwd_kernel(seed_ref, x_ref, l_ref, vb_ref, dtok_ref, g_ref, inner_ref,
         for r in (dw1_ref, db1_ref, ds1_ref, dt1_ref,
                   dw2_ref, db2_ref, ds2_ref, dt2_ref,
                   dw3_ref, db3_ref, ds3_ref, dt3_ref,
-                  dwa_ref, dba_ref, dwb_ref, dbb_ref, dwc_ref,
+                  dwa_ref, dba_ref, dwb_ref, dbb_ref, dwc_ref, dbc_ref,
                   dwt_ref, dbt_ref):
             r[...] = jnp.zeros_like(r)
 
@@ -320,7 +332,9 @@ def _bwd_kernel(seed_ref, x_ref, l_ref, vb_ref, dtok_ref, g_ref, inner_ref,
         else:
             dy_scratch[...] += contrib
         dl += p * (_head_sums(y32 * g, e, nh) - inner_ref[0][v:v + 1])
-    dl_ref[0] = dl
+    # bc grad = sum over all tokens of dl — accumulated here so the [b, t, nh]
+    # dl tensor never exists in HBM (was a 10.6 MB write + a 0.45 ms reduce)
+    dbc_ref[...] += jnp.sum(dl, axis=0)
 
     # token projector backward
     dtok = dtok_ref[0]                                      # [T, d_out]
@@ -414,9 +428,21 @@ def _fwd_call(x, mask_bias, view_bias, seed, wargs, *, e, nh, nv, pre_rate,
     h = wargs[0].shape[1]
     f = wargs[14].shape[-1]
     sv_cols = 2 * h + E + 2 * nh * f
+    has_mask = mask_bias is not None
+    has_vb = view_bias is not None
     x_p, nt, t_pad = _pad_t(x, t_block)
-    mb_p, _, _ = _pad_t(mask_bias, t_block, fill=NEG_INF)
-    vb_p, _, _ = _pad_t(view_bias, t_block, fill=NEG_INF)
+    mb_args, mb_specs = (), ()
+    if has_mask:
+        mb_p, _, _ = _pad_t(mask_bias, t_block, fill=NEG_INF)
+        mb_args = (mb_p,)
+        mb_specs = (pl.BlockSpec((1, t_block, 1), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM),)
+    vb_args, vb_specs = (), ()
+    if has_vb:
+        vb_p, _, _ = _pad_t(view_bias, t_block, fill=NEG_INF)
+        vb_args = (vb_p,)
+        vb_specs = (pl.BlockSpec((1, t_block, 2), lambda i, j: (0, j, 0),
+                                 memory_space=pltpu.VMEM),)
     save_specs, save_shapes = (), ()
     if save_acts:
         save_specs = (
@@ -431,16 +457,15 @@ def _fwd_call(x, mask_bias, view_bias, seed, wargs, *, e, nh, nv, pre_rate,
         )
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, e=e, nh=nh, nv=nv, pre_rate=pre_rate,
-                          gate_rate=gate_rate, save_acts=save_acts),
+                          gate_rate=gate_rate, save_acts=save_acts,
+                          has_mask=has_mask, has_vb=has_vb),
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, t_block, d_in), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_block, nh), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_block, 2), lambda i, j: (0, j, 0),
-                         memory_space=pltpu.VMEM),
+            *mb_specs,
+            *vb_specs,
             *_wspecs([w.shape for w in wargs]),
         ],
         out_specs=(
@@ -483,7 +508,7 @@ def _fwd_call(x, mask_bias, view_bias, seed, wargs, *, e, nh, nv, pre_rate,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed.reshape(1), x_p, mb_p, vb_p, *wargs)
+    )(seed.reshape(1), x_p, *mb_args, *vb_args, *wargs)
     pooled, m, s, tok, l = outs[:5]
     saved = outs[5:] if save_acts else (None, None)
     return pooled, m, s, tok[:, :t], l, saved
@@ -543,18 +568,23 @@ def encoder_train(x: jnp.ndarray, pre, attn, tokp,
     return pooled, tok
 
 
-def _mask_bias(mask, b, t, nh):
+def _mask_bias(mask, b, t, pad: bool):
+    """[b, t, 1] f32 bias (0 valid, NEG_INF masked), lane-broadcast across
+    heads in-kernel — or None when there is no mask AND no t padding (the
+    kernels then skip the bias input entirely: no [b, t, nh] zeros broadcast,
+    no per-block VMEM reads)."""
     m = _normalize_mask(mask, b, t)
     if m is None:
-        return jnp.zeros((b, t, nh), jnp.float32)
-    return jnp.broadcast_to(
-        jnp.where(m[..., None], 0.0, NEG_INF), (b, t, nh)).astype(jnp.float32)
+        # unaligned t still needs the bias: padded rows must pool to zero
+        return jnp.zeros((b, t, 1), jnp.float32) if pad else None
+    return jnp.where(m[..., None], 0.0, NEG_INF).astype(jnp.float32)
 
 
 def _view_bias(half_mask, t):
-    """[t] bool half split -> [1, t, 2] f32 bias (0 in-view, NEG_INF out)."""
+    """[t] bool half split -> [1, t, 2] f32 bias (0 in-view, NEG_INF out);
+    None when there is no half split (n_views == 1 skips the input)."""
     if half_mask is None:
-        return jnp.zeros((1, t, 2), jnp.float32)
+        return None
     hm = half_mask.reshape(t).astype(bool)
     return jnp.stack([jnp.where(hm, 0.0, NEG_INF),
                       jnp.where(hm, NEG_INF, 0.0)], axis=-1)[None]
@@ -572,7 +602,7 @@ def _enc_fwd(x, pre, attn, tokp, mask, seed, pre_rate, gate_rate, t_block,
     wargs = _weight_args(pre, attn, tokp, x.dtype)
     vb = _view_bias(half_mask, t)
     pooled32, m, s, tok, l, saved = _fwd_call(
-        x, _mask_bias(mask, b, t, nh), vb, seed, wargs,
+        x, _mask_bias(mask, b, t, pad=t % t_block != 0), vb, seed, wargs,
         e=e, nh=nh, nv=nv, pre_rate=pre_rate, gate_rate=gate_rate,
         t_block=t_block, save_acts=save, interpret=_interp())
     pooled = (pooled32.reshape(b, nh, e) if nv == 1
@@ -601,8 +631,8 @@ def _enc_bwd(pre_rate, gate_rate, t_block, need_dx, save_acts, res, cots):
         e=e, nh=nh, nv=nv, d_out=tokp["w"].shape[1],
         pre_rate=pre_rate, gate_rate=gate_rate, t_block=t_block,
         need_dx=need_dx, saved=saved)
-    (dx, dl, dw1, db1, ds1, dt1, dw2, db2, ds2, dt2, dw3, db3, ds3, dt3,
-     dwa, dba, dwb, dbb, dwc, dwt, dbt) = outs
+    (dx, dw1, db1, ds1, dt1, dw2, db2, ds2, dt2, dw3, db3, ds3, dt3,
+     dwa, dba, dwb, dbb, dwc, dbc, dwt, dbt) = outs
 
     def like(v, p):
         return v.astype(p.dtype)
@@ -618,7 +648,6 @@ def _enc_bwd(pre_rate, gate_rate, t_block, need_dx, save_acts, res, cots):
         "ln3": {"scale": like(ds3, pre["ln3"]["scale"]),
                 "bias": like(dt3, pre["ln3"]["bias"])},
     }
-    dbc = jnp.sum(dl, axis=(0, 1), dtype=jnp.float32)       # [nh]
     d_attn = {
         "wa": like(dwa, attn["wa"]), "ba": like(dba, attn["ba"]),
         "wb": like(dwb, attn["wb"]), "bb": like(dbb, attn["bb"]),
@@ -645,7 +674,13 @@ def _bwd_dispatch(x, l, vb, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
     f = wargs_bwd[12].shape[-1]
     x_p, nt, t_pad = _pad_t(x, t_block)
     l_p, _, _ = _pad_t(l, t_block, fill=NEG_INF)
-    vb_p, _, _ = _pad_t(vb, t_block, fill=NEG_INF)
+    has_vb = vb is not None
+    vb_args, vb_specs = (), ()
+    if has_vb:
+        vb_p, _, _ = _pad_t(vb, t_block, fill=NEG_INF)
+        vb_args = (vb_p,)
+        vb_specs = (pl.BlockSpec((1, t_block, 2), lambda i, j: (0, j, 0),
+                                 memory_space=pltpu.VMEM),)
     dtok_p, _, _ = _pad_t(dtok, t_block)
     f32 = jnp.float32
     save_acts = saved[0] is not None
@@ -663,7 +698,7 @@ def _bwd_dispatch(x, l, vb, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
         (d_in, h), (h,), (h,), (h,),
         (h, h), (h,), (h,), (h,),
         (h, E), (E,), (E,), (E,),
-        (nh, e, f), (nh, f), (nh, e, f), (nh, f), (nh, f),
+        (nh, e, f), (nh, f), (nh, e, f), (nh, f), (nh, f), (nh,),
         (E, d_out), (d_out,),
     ]
     # need_dx=False: the dx output shrinks to an unwritten [b, 1, d_in]
@@ -677,7 +712,7 @@ def _bwd_dispatch(x, l, vb, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, e=e, nh=nh, nv=nv, pre_rate=pre_rate,
                           gate_rate=gate_rate, need_dx=need_dx,
-                          save_acts=save_acts),
+                          save_acts=save_acts, has_vb=has_vb),
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -685,8 +720,7 @@ def _bwd_dispatch(x, l, vb, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_block, nh), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_block, 2), lambda i, j: (0, j, 0),
-                         memory_space=pltpu.VMEM),
+            *vb_specs,
             pl.BlockSpec((1, t_block, d_out), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nv, E), lambda i, j: (i, 0, 0),
@@ -702,13 +736,10 @@ def _bwd_dispatch(x, l, vb, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
         ],
         out_specs=(
             dx_spec,
-            pl.BlockSpec((1, t_block, nh), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
             *_wspecs(grad_shapes),
         ),
         out_shape=(
             dx_shape,
-            jax.ShapeDtypeStruct((b, t + t_pad, nh), jnp.float32),
             *[jax.ShapeDtypeStruct(sh, f32) for sh in grad_shapes],
         ),
         scratch_shapes=[pltpu.VMEM((t_block, E), jnp.float32)],
@@ -723,8 +754,7 @@ def _bwd_dispatch(x, l, vb, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interp(),
-    )(seed.reshape(1), x_p, l_p, vb_p, dtok_p, g_flat, inner, m, s,
+    )(seed.reshape(1), x_p, l_p, *vb_args, dtok_p, g_flat, inner, m, s,
       *saved_args, *wargs_bwd)
     dx = outs[0][:, :t] if need_dx else None
-    dl = outs[1][:, :t]
-    return (dx, dl) + tuple(outs[2:])
+    return (dx,) + tuple(outs[1:])

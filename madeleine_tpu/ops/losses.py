@@ -350,8 +350,9 @@ def got_loss_multi(
     mask_flat = (None if sample_mask is None
                  else sample_mask.reshape(S * b))
 
-    def per_group_threshold(C):
-        """relu(C - thr_s) with min/max per stain group s = batch // b."""
+    def group_threshold(C):
+        """thr_s = min + 0.1 (max - min) with min/max per stain group
+        s = batch // b, broadcast back to [S*b]."""
         Cg = C.reshape(S, b, *C.shape[1:])
         if sample_mask is not None:
             valid = sample_mask[..., None, None]
@@ -361,32 +362,47 @@ def got_loss_multi(
             cmin = jnp.min(Cg, axis=(1, 2, 3))
             cmax = jnp.max(Cg, axis=(1, 2, 3))
         thr = cmin + 0.1 * (cmax - cmin)             # [S]
-        out = jax.nn.relu(Cg - thr[:, None, None, None])
-        return out.reshape(C.shape)
+        return jnp.repeat(thr, b)                    # [S*b]
 
-    C = per_group_threshold(cosine_cost(v32, q32))
+    m = n
+    C0 = cosine_cost(v32, q32)
+    Cs0 = cosine_cost(v32, v32)
+    Ct0 = cosine_cost(q32, q32)
+    thr3 = jnp.stack([group_threshold(X) for X in (C0, Cs0, Ct0)],
+                     axis=1)                                 # [S*b, 3]
+    # fused threshold-relu + Cst assembly (ops/got_glue.py) when the
+    # per-problem tiles fit VMEM; plain XLA chain otherwise. Same math,
+    # same gradients (the min/max threshold statistics stay out here, so
+    # their subgradient routing is XLA's in both branches).
+    fuse = n * n + m * m + 6 * n * m <= 2 * 1024 * 1024
+    if fuse:
+        from madeleine_tpu.ops.got_glue import gw_trace, threshold_build
+
+        C, Cs, Ct, Cst = threshold_build(C0, Cs0, Ct0, thr3)
+    else:
+        C = jax.nn.relu(C0 - thr3[:, 0][:, None, None])
+        Cs = jax.nn.relu(Cs0 - thr3[:, 1][:, None, None])
+        Ct = jax.nn.relu(Ct0 - thr3[:, 2][:, None, None])
+        p = jnp.full((S * b, n, 1), 1.0 / n, jnp.float32)
+        qv = jnp.full((S * b, m, 1), 1.0 / m, jnp.float32)
+        cs2p = jnp.einsum("bnk,bko->bno", Cs ** 2, p, precision=_HI)
+        qtct2 = jnp.einsum("bko,bmk->bom", qv, Ct ** 2, precision=_HI)
+        Cst = cs2p + qtct2
     wd = ipot_distance(C, iterations=ot_iterations)          # [S*b]
 
-    # GW with per-group thresholds on the self-cost graphs
-    Cs = per_group_threshold(cosine_cost(v32, v32))
-    Ct = per_group_threshold(cosine_cost(q32, q32))
-    m = n
-    p = jnp.full((S * b, n, 1), 1.0 / n, jnp.float32)
-    qv = jnp.full((S * b, m, 1), 1.0 / m, jnp.float32)
-    cs2p = jnp.einsum("bnk,bko->bno", Cs ** 2, p, precision=_HI)
-    qtct2 = jnp.einsum("bko,bmk->bom", qv, Ct ** 2, precision=_HI)
-    Cst = cs2p + qtct2
-    gamma = jnp.einsum("bno,bmo->bnm", p, qv, precision=_HI)
-
+    gamma0 = jnp.full((S * b, n, m), 1.0 / (n * m), jnp.float32)
     # gamma is detached below — stop the loop inputs too so the 5x20
     # iterations are never linearized (see gw_distance)
     CsL, CtL, CstL = map(jax.lax.stop_gradient, (Cs, Ct, Cst))
-    gamma = _gw_gamma(CsL, CtL, CstL, gamma, 0.1, gw_iterations,
+    gamma = _gw_gamma(CsL, CtL, CstL, gamma0, 0.1, gw_iterations,
                       gw_ot_iterations)
     gamma = jax.lax.stop_gradient(gamma)
-    C_final = Cst - 2.0 * jnp.einsum("bnk,bkl,bml->bnm", Cs, gamma, Ct,
-                                     precision=_HI)
-    gwd = jnp.sum(C_final * gamma, axis=(1, 2))              # [S*b]
+    if fuse:
+        gwd = gw_trace(Cs, Ct, Cst, gamma)                   # [S*b]
+    else:
+        C_final = Cst - 2.0 * jnp.einsum("bnk,bkl,bml->bnm", Cs, gamma, Ct,
+                                         precision=_HI)
+        gwd = jnp.sum(C_final * gamma, axis=(1, 2))          # [S*b]
 
     total = wd + gwd
     if mask_flat is not None:

@@ -58,16 +58,26 @@ def main() -> int:
         ls[-1] = 9000 if n > 2 else ls[-1]
         return ls
 
-    errs, done = [], []
+    errs, done, lats = [], [], []
     lock = threading.Lock()
 
     def client(cid):
+        """One bag per request (the real serving pattern) so per-request
+        latency percentiles are measurable; the micro-batcher coalesces
+        concurrent requests into bucket batches server-side."""
         try:
             bags = [rng.standard_normal((n, args.d)).astype(np.float32)
                     for n in lengths(args.bags_per_client)]
-            out = svc.encode_many(bags, timeout=600.0)
+            my_lats, n_out = [], 0
+            for bag in bags:
+                t0 = time.perf_counter()
+                out = svc.encode(bag, timeout=600.0)
+                my_lats.append(time.perf_counter() - t0)
+                n_out += 1
+                assert out.shape[-1] == cfg.embed_dim, out.shape
             with lock:
-                done.append((cid, len(out)))
+                done.append((cid, n_out))
+                lats.extend(my_lats)
         except Exception as e:  # pragma: no cover
             with lock:
                 errs.append((cid, repr(e)))
@@ -83,11 +93,16 @@ def main() -> int:
 
     n_slides = sum(n for _, n in done)
     stats = svc.stats()
-    print(f"clients={args.clients} slides={n_slides} wall={wall:.1f}s "
-          f"-> {n_slides / wall:.1f} slides/s sustained")
-    print(f"stats: {stats}")
     if errs:
         print(f"ERRORS: {errs}")
+    print(f"clients={args.clients} slides={n_slides} wall={wall:.1f}s "
+          f"-> {n_slides / wall:.1f} slides/s sustained")
+    if lats:
+        p50, p90, p99 = (np.percentile(lats, q) * 1000 for q in (50, 90, 99))
+        print(f"latency ms: p50={p50:.0f} p90={p90:.0f} p99={p99:.0f} "
+              f"(mixed 600-4096-token bags + one 9000-token grown-bucket bag)")
+    print(f"stats: {stats}")
+    if errs:
         return 1
     assert stats["slides"] >= n_slides
     assert stats["bucket_growths"] >= 1, "oversize bag did not grow a bucket"

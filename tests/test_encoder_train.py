@@ -114,6 +114,29 @@ def test_ragged_tail_padding(setup):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_no_mask_equals_all_ones_mask(setup):
+    """mask=None routes through the static has_mask=False kernels (no bias
+    input at all); it must agree with an explicit all-True mask through the
+    bias path — outputs and full gradients."""
+    from madeleine_tpu.ops.encoder_train import encoder_train
+
+    params, tokp, x, _ = setup
+    ones = jnp.ones((B, T), bool)
+
+    def loss_f(args, m):
+        x, pre, attn, tokp = args
+        p, t = encoder_train(x, pre, attn, tokp, m, jnp.int32(7), 0.0, 0.0,
+                             T_BLOCK)
+        return jnp.sum(jnp.sin(p)) + jnp.sum(jnp.cos(t) * 0.01)
+
+    args = (x, params["pre_attn"], params["attn"], tokp)
+    for a, b in zip(
+            jax.tree_util.tree_leaves(jax.grad(loss_f)(args, None)),
+            jax.tree_util.tree_leaves(jax.grad(loss_f)(args, ones))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def _unfused_views(pre, attn, tokp, x, mask, half):
     """Reference composition of the n_views=3 intra-modality config
     (ref Model.py:419-440): whole bag + two disjoint half-bag re-softmax
@@ -186,7 +209,11 @@ def test_multiview_forward_and_grads(setup, masked):
 
 def test_need_dx_false_same_weight_grads(setup):
     """need_dx=False (canonical no-stain-encoding config) must change NOTHING
-    except dx: weight grads bit-identical to need_dx=True, dx symbolic zero."""
+    except dx: weight grads match need_dx=True to a few f32 ulp (the two
+    settings are DIFFERENT compiled programs — XLA is free to reassociate
+    the db = sum(dz) reductions differently around the skipped dz @ w1^T
+    matmul, so bit-equality across them is not guaranteed), dx symbolic
+    zero."""
     from madeleine_tpu.ops.encoder_train import encoder_train
 
     params, tokp, x, mask = setup
@@ -202,7 +229,8 @@ def test_need_dx_false_same_weight_grads(setup):
     g_nodx = jax.grad(loss_f)(args, False)
     for a, b in zip(jax.tree_util.tree_leaves(g_full[1:]),
                     jax.tree_util.tree_leaves(g_nodx[1:])):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
     assert np.all(np.asarray(g_nodx[0]) == 0.0)
     assert np.any(np.asarray(g_full[0]) != 0.0)
 

@@ -168,6 +168,31 @@ def test_got_loss_multi_matches_individual():
                                    err_msg=f"stain {s}")
 
 
+def test_got_loss_multi_grad_matches_individual():
+    """Gradients through the batched GOT (fused threshold_build + gw_trace
+    custom VJPs, ops/got_glue.py) must equal the per-stain got_loss gradients
+    (plain XLA autodiff chain) — covers the hand-written relu-threshold, Cst
+    and C_final adjoints."""
+    rng = np.random.default_rng(11)
+    S, b, n, d = 3, 5, 12, 8
+    v = jnp.asarray(rng.standard_normal((S, b, n, d)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((S, b, n, d)).astype(np.float32))
+    mask = jnp.asarray(rng.random((S, b)) < 0.8)
+
+    def f_multi(v, q):
+        return jnp.sum(L.got_loss_multi(v, q, sample_mask=mask))
+
+    def f_single(v, q):
+        return sum(L.got_loss(v[s], q[s], sample_mask=mask[s])
+                   for s in range(S))
+
+    gm = jax.grad(f_multi, argnums=(0, 1))(v, q)
+    gs = jax.grad(f_single, argnums=(0, 1))(v, q)
+    for a, b_ in zip(gm, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_masked_subsample_without_replacement():
     """A bag with exactly `subsample` valid tokens must yield a permutation of
     them (no duplicates, no padding); >subsample valid -> distinct subset;
