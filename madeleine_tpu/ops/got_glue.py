@@ -49,14 +49,6 @@ def _interp() -> bool:
 # threshold_build
 # ---------------------------------------------------------------------------
 
-def _smem_col(thr_ref, base, G, k):
-    """[G, 1, 1] f32 from per-problem SMEM scalars (full [b, 3] array in
-    SMEM — a (G, 3) VMEM block would violate Mosaic's (8, 128)-divisible
-    block rule for the trailing dims)."""
-    return jnp.stack([thr_ref[base + g, k]
-                      for g in range(G)]).reshape(G, 1, 1)
-
-
 def _tb_fwd_kernel(thr_ref, c0_ref, cs0_ref, ct0_ref,
                    c_ref, cs_ref, ct_ref, cst_ref, *, G: int):
     base = pl.program_id(0) * G
@@ -64,24 +56,25 @@ def _tb_fwd_kernel(thr_ref, c0_ref, cs0_ref, ct0_ref,
     Cs0 = cs0_ref[...].astype(jnp.float32)            # [G, n, n]
     Ct0 = ct0_ref[...].astype(jnp.float32)            # [G, m, m]
     _, n, m = C0.shape
-    C = jax.nn.relu(C0 - _smem_col(thr_ref, base, G, 0))
-    Cs = jax.nn.relu(Cs0 - _smem_col(thr_ref, base, G, 1))
-    Ct = jax.nn.relu(Ct0 - _smem_col(thr_ref, base, G, 2))
-    c_ref[...] = C
-    cs_ref[...] = Cs
-    ct_ref[...] = Ct
     # Cst_{ij} = (1/n) sum_k Cs^2_{ik} + (1/m) sum_k Ct^2_{jk}. Row sums run
     # as per-problem ones-contractions on the MXU — same accumulation the
     # XLA einsums ("bnk,bko->bno" with p, "bko,bmk->bom" with q) used, and
     # the Ct sum lands directly on the LANE axis ([1, m]) without a
-    # sublane->lane transpose (no Mosaic lowering for that).
+    # sublane->lane transpose (no Mosaic lowering for that). Thresholds are
+    # per-problem SMEM scalars applied as rank-0 broadcasts inside the g
+    # loop (stacking them into a [G, 1, 1] vector has no Mosaic lowering:
+    # "tpu.reshape vector<Gxf32> -> vector<Gx1x1xf32>").
     p_n = jnp.full((n, 1), 1.0 / n, jnp.float32)
     q_m = jnp.full((m, 1), 1.0 / m, jnp.float32)
     for g in range(G):
-        Cs2 = Cs[g] * Cs[g]
-        Ct2 = Ct[g] * Ct[g]
-        cs2p = _dot(Cs2, p_n, ((1,), (0,)))                      # [n, 1]
-        ct2q = _dot(q_m, Ct2, ((0,), (1,)))                      # [1, m]
+        C = jax.nn.relu(C0[g] - thr_ref[base + g, 0])
+        Cs = jax.nn.relu(Cs0[g] - thr_ref[base + g, 1])
+        Ct = jax.nn.relu(Ct0[g] - thr_ref[base + g, 2])
+        c_ref[g] = C
+        cs_ref[g] = Cs
+        ct_ref[g] = Ct
+        cs2p = _dot(Cs * Cs, p_n, ((1,), (0,)))                  # [n, 1]
+        ct2q = _dot(q_m, Ct * Ct, ((0,), (1,)))                  # [1, m]
         cst_ref[g] = cs2p + ct2q
 
 
@@ -98,35 +91,32 @@ def _tb_bwd_kernel(thr_ref, c0_ref, cs0_ref, ct0_ref,
     dCst = dcst_ref[...].astype(jnp.float32)
     _, n, m = C0.shape
 
-    thr_c = _smem_col(thr_ref, base, G, 0)
-    thr_s = _smem_col(thr_ref, base, G, 1)
-    thr_t = _smem_col(thr_ref, base, G, 2)
-    keep_c = C0 > thr_c
-    keep_s = Cs0 > thr_s
-    keep_t = Ct0 > thr_t
-    Cs = jnp.where(keep_s, Cs0 - thr_s, 0.0)
-    Ct = jnp.where(keep_t, Ct0 - thr_t, 0.0)
-
-    # Cst backward: row sums of dCst scale Cs, column sums scale Ct
+    # Cst backward: row sums of dCst scale Cs, column sums scale Ct.
+    # Thresholds as rank-0 SMEM-scalar broadcasts per problem (see fwd).
     dcs2p = jnp.sum(dCst, axis=2, keepdims=True)                 # [G, n, 1]
     # column sum as a per-problem ones-contraction so the result lands on
-    # the SUBLANE axis ([G, m, 1]) without a lane->sublane transpose
+    # the SUBLANE axis ([m, 1]) without a lane->sublane transpose
     ones_n = jnp.ones((n, 1), jnp.float32)
-    dct2q = jnp.stack([_dot(dCst[g], ones_n, ((0,), (0,)))
-                       for g in range(G)])                       # [G, m, 1]
-    dCs_tot = dCs + (2.0 / n) * Cs * dcs2p
-    dCt_tot = dCt + (2.0 / m) * Ct * dct2q
-
-    dC0 = jnp.where(keep_c, dC, 0.0)
-    dCs0 = jnp.where(keep_s, dCs_tot, 0.0)
-    dCt0 = jnp.where(keep_t, dCt_tot, 0.0)
-    dc0_ref[...] = dC0
-    dcs0_ref[...] = dCs0
-    dct0_ref[...] = dCt0
-    for g in range(G):                      # dthr scalars to SMEM
-        dthr_ref[base + g, 0] = -jnp.sum(dC0[g])
-        dthr_ref[base + g, 1] = -jnp.sum(dCs0[g])
-        dthr_ref[base + g, 2] = -jnp.sum(dCt0[g])
+    for g in range(G):
+        thr_c = thr_ref[base + g, 0]
+        thr_s = thr_ref[base + g, 1]
+        thr_t = thr_ref[base + g, 2]
+        keep_s = Cs0[g] > thr_s
+        keep_t = Ct0[g] > thr_t
+        Cs = jnp.where(keep_s, Cs0[g] - thr_s, 0.0)
+        Ct = jnp.where(keep_t, Ct0[g] - thr_t, 0.0)
+        dct2q = _dot(dCst[g], ones_n, ((0,), (0,)))              # [m, 1]
+        dCs_tot = dCs[g] + (2.0 / n) * Cs * dcs2p[g]
+        dCt_tot = dCt[g] + (2.0 / m) * Ct * dct2q
+        dC0g = jnp.where(C0[g] > thr_c, dC[g], 0.0)
+        dCs0g = jnp.where(keep_s, dCs_tot, 0.0)
+        dCt0g = jnp.where(keep_t, dCt_tot, 0.0)
+        dc0_ref[g] = dC0g
+        dcs0_ref[g] = dCs0g
+        dct0_ref[g] = dCt0g
+        dthr_ref[base + g, 0] = -jnp.sum(dC0g)      # scalars to SMEM
+        dthr_ref[base + g, 1] = -jnp.sum(dCs0g)
+        dthr_ref[base + g, 2] = -jnp.sum(dCt0g)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -15,8 +15,9 @@ Checks, in order:
 4. train-pool routing (fused_attention_pool): grad parity with the pure-XLA
    pooling at identical inputs.
 5. IPOT / GW-gamma fused kernels vs the XLA loop (values + grads).
-6. linear_tok fwd+bwd vs XLA at bf16.
-7. whole-encoder train op with ACTIVE dropout: determinism, FD along wc,
+6. GOT glue kernels (threshold_build / gw_trace) vs HIGHEST-precision XLA.
+7. linear_tok fwd+bwd vs XLA at bf16.
+8. whole-encoder train op with ACTIVE dropout: determinism, FD along wc,
    save_acts == recompute gradients.
 
 Standalone: `python scripts/verify_train_kernels.py [out.json]` exits
@@ -399,6 +400,75 @@ def check_encoder_train():
     print("encoder_train save_acts == recompute (active dropout): OK")
 
 
+def check_got_glue():
+    """GOT glue kernels (ops/got_glue.py) vs HIGHEST-precision XLA: the
+    threshold/relu + Cst assembly (values + grads incl. the thr cotangent)
+    and the gamma-detached GW trace. Hardware lane: interpret-mode CPU tests
+    can't catch Mosaic lowering failures (a scalar-stack reshape in an early
+    version compiled on CPU but had no TPU lowering)."""
+    from madeleine_tpu.ops.got_glue import gw_trace, threshold_build
+
+    rng = np.random.default_rng(17)
+    b, n, m = 8, 256, 256
+    C0 = jnp.asarray(rng.standard_normal((b, n, m)), jnp.float32)
+    Cs0 = jnp.asarray(rng.standard_normal((b, n, n)), jnp.float32)
+    Ct0 = jnp.asarray(rng.standard_normal((b, m, m)), jnp.float32)
+    thr = jnp.asarray(rng.uniform(-0.5, 0.5, (b, 3)), jnp.float32)
+    HI = jax.lax.Precision.HIGHEST
+
+    def ref_tb(C0, Cs0, Ct0, thr):
+        C = jax.nn.relu(C0 - thr[:, 0, None, None])
+        Cs = jax.nn.relu(Cs0 - thr[:, 1, None, None])
+        Ct = jax.nn.relu(Ct0 - thr[:, 2, None, None])
+        Cst = (jnp.mean(Cs ** 2, 2)[:, :, None]
+               + jnp.mean(Ct ** 2, 2)[:, None, :])
+        return C, Cs, Ct, Cst
+
+    outs = threshold_build(C0, Cs0, Ct0, thr)
+    refs = ref_tb(C0, Cs0, Ct0, thr)
+    for o, r, name in zip(outs, refs, ("C", "Cs", "Ct", "Cst")):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+    def mix(o):
+        C, Cs, Ct, Cst = o
+        return (jnp.sum(C ** 2) + 1.5 * jnp.sum(Cs) + 0.5 * jnp.sum(Ct)
+                + jnp.sum(Cst ** 2))
+
+    gk = jax.grad(lambda *a: mix(threshold_build(*a)), argnums=(0, 1, 2, 3))(
+        C0, Cs0, Ct0, thr)
+    gr = jax.grad(lambda *a: mix(ref_tb(*a)), argnums=(0, 1, 2, 3))(
+        C0, Cs0, Ct0, thr)
+    for a, r, name in zip(gk, gr, ("dC0", "dCs0", "dCt0", "dthr")):
+        r32 = np.asarray(r)
+        np.testing.assert_allclose(np.asarray(a), r32, rtol=1e-4,
+                                   atol=1e-5 * max(1.0, np.abs(r32).max()),
+                                   err_msg=name)
+    print("threshold_build (values + grads vs XLA): OK")
+
+    C, Cs, Ct, Cst = refs
+    gam = jnp.asarray(rng.uniform(0, 1.0 / (n * m), (b, n, m)), jnp.float32)
+
+    def ref_gwt(Cs, Ct, Cst, gam):
+        cf = Cst - 2.0 * jnp.einsum("bnk,bkm,bjm->bnj", Cs, gam, Ct,
+                                    precision=HI)
+        return jnp.sum(cf * gam, axis=(1, 2))
+
+    tk = np.asarray(gw_trace(Cs, Ct, Cst, gam))
+    tr = np.asarray(ref_gwt(Cs, Ct, Cst, gam))
+    np.testing.assert_allclose(tk, tr, rtol=1e-4, atol=1e-7)
+    gk = jax.grad(lambda *a: jnp.sum(gw_trace(*a) ** 2), argnums=(0, 1, 2))(
+        Cs, Ct, Cst, gam)
+    gr = jax.grad(lambda *a: jnp.sum(ref_gwt(*a) ** 2), argnums=(0, 1, 2))(
+        Cs, Ct, Cst, gam)
+    for a, r, name in zip(gk, gr, ("dCs", "dCt", "dCst")):
+        r32 = np.asarray(r)
+        np.testing.assert_allclose(np.asarray(a), r32, rtol=1e-4,
+                                   atol=1e-5 * max(1e-12, np.abs(r32).max()),
+                                   err_msg=name)
+    print("gw_trace (values + grads vs HIGHEST XLA, gamma detached): OK")
+
+
 CHECKS = (
     ("dropout_prng", check_dropout),
     ("gated_logits_train", check_gated_logits),
@@ -406,6 +476,7 @@ CHECKS = (
     ("fused_attention_pool", check_fused_pool_grads),
     ("ipot_fused", check_ipot),
     ("gw_gamma_fused", check_gw_gamma),
+    ("got_glue", check_got_glue),
     ("linear_tok", check_linear_tok),
     ("encoder_train", check_encoder_train),
 )
