@@ -34,6 +34,7 @@ Documented deviations from reference bugs:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -373,8 +374,11 @@ def got_loss_multi(
     # fused threshold-relu + Cst assembly (ops/got_glue.py) when the
     # per-problem tiles fit VMEM; plain XLA chain otherwise. Same math,
     # same gradients (the min/max threshold statistics stay out here, so
-    # their subgradient routing is XLA's in both branches).
-    fuse = n * n + m * m + 6 * n * m <= 2 * 1024 * 1024
+    # their subgradient routing is XLA's in both branches). Kill switch:
+    # MADELEINE_NO_GOT_GLUE=1 (branch equality pinned in
+    # tests/test_losses_parity.py::test_got_glue_branch_equality).
+    fuse = (n * n + m * m + 6 * n * m <= 2 * 1024 * 1024
+            and not int(os.environ.get("MADELEINE_NO_GOT_GLUE", "0")))
     if fuse:
         from madeleine_tpu.ops.got_glue import gw_trace, threshold_build
 

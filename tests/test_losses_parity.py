@@ -193,6 +193,39 @@ def test_got_loss_multi_grad_matches_individual():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_got_glue_branch_equality(monkeypatch):
+    """got_loss_multi's fused (ops/got_glue.py kernels) and unfused (plain
+    XLA) branches must agree in values AND gradients — the XLA fallback runs
+    in production only when a problem's tiles exceed the glue kernels' VMEM
+    bound, so without this pin it would rot untested. MADELEINE_NO_GOT_GLUE=1
+    is the production kill switch that forces the same fallback."""
+    rng = np.random.default_rng(12)
+    S, b, n, d = 2, 4, 12, 8
+    v = jnp.asarray(rng.standard_normal((S, b, n, d)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((S, b, n, d)).astype(np.float32))
+    mask = jnp.asarray(rng.random((S, b)) < 0.8)
+
+    def run():
+        def f(v, q):
+            return jnp.sum(L.got_loss_multi(v, q, sample_mask=mask))
+
+        val, grads = jax.value_and_grad(f, argnums=(0, 1))(v, q)
+        return float(val), grads
+
+    monkeypatch.delenv("MADELEINE_NO_GOT_GLUE", raising=False)
+    val_fused, g_fused = run()
+    monkeypatch.setenv("MADELEINE_NO_GOT_GLUE", "1")
+    val_plain, g_plain = run()
+
+    np.testing.assert_allclose(val_fused, val_plain, rtol=1e-5)
+    # Gradient atol 5e-5: the two branches reduce the cost tensors in
+    # different orders and the IPOT proximal loop amplifies f32 rounding;
+    # observed worst-case branch delta is ~1.6e-5 on O(1e-2) gradients.
+    for a, b_ in zip(g_fused, g_plain):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=5e-5)
+
+
 def test_masked_subsample_without_replacement():
     """A bag with exactly `subsample` valid tokens must yield a permutation of
     them (no duplicates, no padding); >subsample valid -> distinct subset;
