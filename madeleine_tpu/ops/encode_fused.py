@@ -78,6 +78,35 @@ def _erf_auto(x32, fast: bool):
     return _erf(x32)
 
 
+# Q(t) = P(t) + 2t*P'(t) for the _ERF_TANH_C polynomial P — the derivative
+# chain d/dx[x*P(x^2)] evaluated as one Horner pass.
+_ERF_TANH_Q = tuple((2 * k + 1) * c for k, c in enumerate(_ERF_TANH_C))
+
+
+def _gelu_grad_tanh(v32, Phi):
+    """gelu'(v) for the tanh-form GELU actually computed on sub-f32 paths.
+
+    Forward (sub-f32): gelu(v) = v*Phi(v), Phi = 0.5*(1 + tanh(x*P(x^2))),
+    x = v/sqrt(2). This is that function's TRUE derivative:
+        Phi + v * 0.5*(1 - T^2) * Q(x^2) / sqrt(2),   T = 2*Phi - 1,
+    with Q = P + 2t*P' — so the backward reuses the forward tanh (recovered
+    from Phi by one FMA) and spends a 4-FMA Horner chain where the exact-phi
+    form spends an exp (the exp(-v^2/2) never runs). Gradient/function
+    consistency beats grafting the exact-gelu derivative onto an approximate
+    forward; max |err| vs exact gelu' is pinned in
+    tests/test_transcendentals.py. Large |v|: tanh saturates, (1 - T^2) hits
+    exactly 0 in f32 before the polynomial can overflow."""
+    c0, c1, c2, c3, c4 = _ERF_TANH_Q
+    t = 0.5 * v32 * v32  # (v/sqrt(2))^2
+    q = jnp.float32(c4)
+    q = q * t + jnp.float32(c3)
+    q = q * t + jnp.float32(c2)
+    q = q * t + jnp.float32(c1)
+    q = q * t + jnp.float32(c0)
+    T = 2.0 * Phi - 1.0
+    return Phi + v32 * ((1.0 - T * T) * q) * jnp.float32(0.5 * 2.0 ** -0.5)
+
+
 def _sigmoid_tanh(z32):
     """sigmoid(z) = 0.5*(1+tanh(z/2)) — exact identity; tanh is a hardware
     op on v5e (~0.74 cycles/vreg) while the exp+recip sigmoid lowering costs

@@ -29,7 +29,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from madeleine_tpu.ops.encode_fused import _erf, _erf_auto
+from madeleine_tpu.ops.encode_fused import (
+    _EXACT_ERF,
+    _erf,
+    _erf_auto,
+    _gelu_grad_tanh,
+)
 
 LN_EPS = 1e-5
 DEFAULT_RATE = 0.1        # ref: Model.py:354,358,362
@@ -88,10 +93,18 @@ def _gelu_grad(v32):
     return _gauss_cdf(v32) + v32 * phi
 
 
-def _gelu_grad_from_cdf(v32, Phi):
-    """gelu'(v) = Phi(v) + v*phi(v), reusing a forward-computed Phi — the
-    erf (the single most expensive VPU chain in the train kernels, measured
-    ~8.7 us per [256,2048] block-pass) is never recomputed in the backward."""
+def _gelu_grad_from_cdf(v32, Phi, fast: bool = False):
+    """gelu'(v) reusing a forward-computed Phi — the erf (the single most
+    expensive VPU chain in the train kernels, measured ~8.7 us per [256,2048]
+    block-pass) is never recomputed in the backward.
+
+    fast=True (sub-f32 compute, matching the forward's _gauss_cdf routing)
+    uses the tanh-form GELU's true derivative — recovers the forward tanh
+    from Phi and spends an FMA chain instead of exp(-v^2/2)
+    (encode_fused._gelu_grad_tanh). f32 paths keep the exact-phi form
+    bit-for-bit. Kill switch: MADELEINE_EXACT_ERF=1 (same as the erf)."""
+    if fast and not _EXACT_ERF:
+        return _gelu_grad_tanh(v32, Phi)
     return Phi + v32 * (jnp.exp(-0.5 * v32 * v32) * _INV_SQRT_2PI)
 
 
@@ -134,7 +147,8 @@ def _layer_bwd(dout, hin32, res, mask, w_ref, s_ref, prec,
     the dz @ w^T matmul entirely)."""
     u, rstd, v, Phi = res
     dg = dout * mask                          # through dropout
-    dv = dg * _gelu_grad_from_cdf(v, Phi)     # through GELU (shared erf)
+    dv = dg * _gelu_grad_from_cdf(            # through GELU (shared erf)
+        v, Phi, fast=w_ref.dtype != jnp.float32)
     ds_ref[...] += jnp.sum(dv * u, axis=0)    # LN affine grads
     dt_ref[...] += jnp.sum(dv, axis=0)
     du = dv * s_ref[...]

@@ -106,11 +106,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=64)
     ap.add_argument("--grid", type=int, default=64)
+    ap.add_argument("--ops", default=None,
+                    help="comma-separated subset of ops (each op costs two "
+                         "Mosaic compiles; the full sweep is slow through "
+                         "the axon tunnel)")
     args = ap.parse_args()
     shape = (256, 2048)
+    names = args.ops.split(",") if args.ops else list(OPS)
     # per-call overhead reference: 1 rep
-    for name, fn in OPS.items():
-        bench(name, fn, args.reps, args.grid, shape)
+    for name in names:
+        bench(name, OPS[name], args.reps, args.grid, shape)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ from madeleine_tpu.ops.encode_fused import (
     _erf,
     _erf_auto,
     _erf_tanh,
+    _gelu_grad_tanh,
     _sigmoid_tanh,
 )
 
@@ -53,6 +54,53 @@ def test_erf_auto_routes_by_flag():
                                   np.asarray(_erf(x)))
     np.testing.assert_array_equal(np.asarray(_erf_auto(x, True)),
                                   np.asarray(_erf_tanh(x)))
+
+
+def test_gelu_grad_tanh_is_true_derivative_of_tanh_gelu():
+    """_gelu_grad_tanh must be the derivative of the tanh-form forward
+    actually computed (v * 0.5*(1+_erf_tanh(v/sqrt(2)))) — checked against a
+    float64 central difference of that exact forward."""
+    v = np.linspace(-8.0, 8.0, 4001).astype(np.float64)
+    eps = 1e-5
+
+    def fwd(x):
+        x = np.asarray(x, np.float64)
+        c = np.asarray(list(reversed((1.12836141, 1.02912513e-1,
+                                      -4.67876657e-4, -4.28175433e-4,
+                                      3.39589343e-5))))
+        xs = x * (2.0 ** -0.5)
+        p = np.polyval(c, xs * xs)
+        return x * 0.5 * (1.0 + np.tanh(xs * p))
+
+    fd = (fwd(v + eps) - fwd(v - eps)) / (2 * eps)
+    Phi = 0.5 * (1.0 + np.asarray(
+        _erf_tanh(jnp.asarray(v * (2.0 ** -0.5), jnp.float32)), np.float64))
+    got = np.asarray(_gelu_grad_tanh(jnp.asarray(v, jnp.float32),
+                                     jnp.asarray(Phi, jnp.float32)))
+    assert np.abs(got - fd).max() < 2e-5
+
+
+def test_gelu_grad_tanh_vs_exact_gelu_grad():
+    """Absolute error vs the EXACT gelu' (f64 erf/phi) — the bound the bf16
+    training path relies on (bf16 resolution near 1 is ~2^-8 = 3.9e-3)."""
+    v = np.linspace(-10.0, 10.0, 40001).astype(np.float64)
+    phi = np.exp(-0.5 * v * v) / math.sqrt(2 * math.pi)
+    exact = np.array([0.5 * (1 + math.erf(x * 2 ** -0.5)) for x in v]) + v * phi
+    Phi = 0.5 * (1.0 + np.asarray(
+        _erf_tanh(jnp.asarray(v * (2.0 ** -0.5), jnp.float32)), np.float64))
+    got = np.asarray(_gelu_grad_tanh(jnp.asarray(v, jnp.float32),
+                                     jnp.asarray(Phi, jnp.float32)))
+    assert np.abs(got - exact).max() < 1e-4
+
+
+def test_gelu_grad_tanh_tails_saturate():
+    """Large |v|: tanh saturates to +-1 in f32, so (1 - T^2) must hit exactly
+    0 before the Q polynomial grows — no overflow, gelu' -> {0, 1}."""
+    v = jnp.asarray([40.0, 100.0, 1e4, -40.0, -100.0, -1e4], jnp.float32)
+    Phi = 0.5 * (1.0 + _erf_tanh(v * (2.0 ** -0.5)))
+    got = np.asarray(_gelu_grad_tanh(v, Phi))
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, [1, 1, 1, 0, 0, 0], atol=1e-6)
 
 
 def test_sigmoid_tanh_identity():
