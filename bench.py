@@ -272,9 +272,8 @@ def bench_production_bound(encode_sps: float, loader_gbps: float,
     bytes_per_slide = tokens * d * 2  # bf16
     loader_sps = loader_gbps * 1e9 / bytes_per_slide
     pcie_sps = PCIE_GBPS * 1e9 / bytes_per_slide
-    bound = min(loader_sps, pcie_sps, encode_sps)
-    limiter = {loader_sps: "loader", pcie_sps: "pcie",
-               encode_sps: "encode"}[bound]
+    bound, limiter = min([(loader_sps, "loader"), (pcie_sps, "pcie"),
+                          (encode_sps, "encode")])
     print(json.dumps({
         "metric": "production_disk_to_embedding_bound",
         "value": round(bound, 1),

@@ -123,12 +123,12 @@ def layer_norm(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return y.astype(dtype)
 
 
-def _dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
+def _dropout(x: jnp.ndarray, rate: float, rng, row_offset=None) -> jnp.ndarray:
     """Inverted dropout; TPU hardware-RNG kernel when available (ops/dropout.py
     — threefry over the full activation set was ~60% of the train step)."""
     from madeleine_tpu.ops.dropout import dropout
 
-    return dropout(x, rate, rng)
+    return dropout(x, rate, rng, row_offset=row_offset)
 
 
 def pre_attn_mlp(
@@ -137,17 +137,24 @@ def pre_attn_mlp(
     *,
     dropout_rng=None,
     train: bool = False,
+    row_offset=None,
 ) -> jnp.ndarray:
     """3x [Linear -> LayerNorm -> GELU(exact) -> Dropout(0.1)]; widths
     in -> hidden -> hidden -> hidden*n_heads (ref: Model.py:350-363).
 
     Training on TPU routes through the fused Pallas op (ops/preattn.py):
     the whole stack runs per token-block in VMEM with in-kernel hardware-RNG
-    dropout and a custom-VJP backward — no intermediates or masks in HBM."""
+    dropout and a custom-VJP backward — no intermediates or masks in HBM.
+
+    row_offset: global index of x's first batch row (shard_map DP lane);
+    see ops/dropout.py — keeps dropout draws sharding-invariant."""
     if (train and dropout_rng is not None and x.ndim == 3
             and jax.default_backend() == "tpu"):
         from madeleine_tpu.ops.preattn import preattn_train
 
+        if row_offset is not None:
+            # decorrelate shards (per-block program_id seeding is local)
+            dropout_rng = jax.random.fold_in(dropout_rng, row_offset)
         seed = jax.random.randint(dropout_rng, (), 0,
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
         return preattn_train(x, p, seed, PRE_ATTN_DROPOUT)
@@ -160,7 +167,7 @@ def pre_attn_mlp(
         x = layer_norm(x, ln)
         x = jax.nn.gelu(x, approximate=False)  # torch nn.GELU default = exact erf
         if rng is not None:
-            x = _dropout(x, PRE_ATTN_DROPOUT, rng)
+            x = _dropout(x, PRE_ATTN_DROPOUT, rng, row_offset=row_offset)
     return x
 
 
@@ -170,6 +177,7 @@ def gated_attention_logits(
     *,
     dropout_rng=None,
     train: bool = False,
+    row_offset=None,
 ) -> jnp.ndarray:
     """All-heads gated attention scores in one shot.
 
@@ -187,6 +195,9 @@ def gated_attention_logits(
         from madeleine_tpu.ops.gated_logits import gated_logits_train
 
         b, t, nh, e = xh.shape
+        if row_offset is not None:
+            # decorrelate shards (per-block program_id seeding is local)
+            dropout_rng = jax.random.fold_in(dropout_rng, row_offset)
         seed = jax.random.randint(dropout_rng, (), 0,
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
         return gated_logits_train(xh.reshape(b, t, nh * e), attn, seed,
@@ -199,8 +210,8 @@ def gated_attention_logits(
                                   precision=prec) + attn["bb"])
     if train and dropout_rng is not None:
         ra, rb = jax.random.split(dropout_rng)
-        a = _dropout(a, ATTN_DROPOUT, ra)
-        b = _dropout(b, ATTN_DROPOUT, rb)
+        a = _dropout(a, ATTN_DROPOUT, ra, row_offset=row_offset)
+        b = _dropout(b, ATTN_DROPOUT, rb, row_offset=row_offset)
     g = a * b
     logits = jnp.einsum("...hf,hfo->...ho", g, attn["wc"],
                         precision=prec) + attn["bc"]
@@ -255,6 +266,7 @@ def abmil_embed(
     return_attention: bool = False,
     return_tokens: bool = False,
     use_pallas: Optional[bool] = None,
+    row_offset=None,
 ) -> Tuple[jnp.ndarray, ...]:
     """ABMIL forward (ref: Model.py:375-451).
 
@@ -296,7 +308,8 @@ def abmil_embed(
 
         return encode_pool_fused(params, bags, mask)
 
-    y = pre_attn_mlp(params["pre_attn"], bags, dropout_rng=pre_rng, train=train)
+    y = pre_attn_mlp(params["pre_attn"], bags, dropout_rng=pre_rng, train=train,
+                     row_offset=row_offset)
     # head-major split (bridge permutes the reference's '(e c)' order at load)
     xh = y.reshape(*y.shape[:-1], n_heads, hidden)
 
@@ -305,7 +318,8 @@ def abmil_embed(
 
         return gated_attention_pool(params["attn"], xh, mask)
 
-    raw_logits = gated_attention_logits(params["attn"], xh, dropout_rng=attn_rng, train=train)
+    raw_logits = gated_attention_logits(params["attn"], xh, dropout_rng=attn_rng,
+                                        train=train, row_offset=row_offset)
 
     from madeleine_tpu.ops.attn_pool import (
         fused_attention_pool,

@@ -128,8 +128,14 @@ def forward_train(
     rng=None,                              # dropout + view rng (train mode)
     train: bool = True,
     use_pallas: Optional[bool] = None,
+    axis_name: Optional[str] = None,       # shard_map data axis (DP lane)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Training forward (ref: Model.py:110-159).
+
+    axis_name: when called inside the shard_map data-parallel train lane
+    (train/trainer.py), the name of the batch mesh axis. Used only to derive
+    each shard's global row offset so dropout draws are sharding-invariant
+    (fused kernel seeds + software dropout keys index GLOBAL rows).
 
     Returns:
       slide_embs:  [bs, n_mod, n_views, embed_dim]   (projector output)
@@ -142,22 +148,37 @@ def forward_train(
     else:
         drop_rng, view_rng = None, (rng if rng is not None else jax.random.PRNGKey(0))
 
+    def _row_offset(nrows: int):
+        """Global batch index of this shard's row 0 (0 without a mesh axis)."""
+        if axis_name is None:
+            return jnp.zeros((), jnp.int32)
+        return (jax.lax.axis_index(axis_name) * nrows).astype(jnp.int32)
+
     def _use_fused_encoder(drop_key) -> bool:
         """Route through the whole-encoder train kernel (ops/encoder_train.py):
         pre-attn MLP + gates + pool + token projector in ONE fwd and ONE bwd
         Pallas call — the [*, t, hidden*nh] features and their three summed
         cotangents never touch HBM. Covers n_views 1 AND 3 (the half-bag
         views are two extra bias columns + per-view accumulators in the same
-        kernels); non-softmax activations take the per-op fallback chain."""
+        kernels); non-softmax activations take the per-op fallback chain.
+        MADELEINE_FORCE_FUSED=1 overrides the backend gate so tests and the
+        driver dryrun exercise this exact route in interpret mode on CPU
+        (with dropout rates forced to 0 there — the TPU hardware PRNG does
+        not lower in interpret mode)."""
         import os as _os
 
         return (train and drop_key is not None and n_views in (1, 3)
                 and cfg.activation == "softmax" and use_pallas is not False
-                and jax.default_backend() == "tpu"
+                and (jax.default_backend() == "tpu"
+                     or bool(_os.environ.get("MADELEINE_FORCE_FUSED")))
                 and not _os.environ.get("MADELEINE_NO_FUSED_ENCODER"))
 
     def _fused_tail(x, mask_m, drop_key):
-        from madeleine_tpu.ops.encoder_train import encoder_train
+        from madeleine_tpu.ops.encoder_train import (
+            GATE_RATE,
+            PRE_RATE,
+            encoder_train,
+        )
 
         seed = jax.random.randint(drop_key, (), 0,
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
@@ -169,13 +190,20 @@ def forward_train(
             ranks = jnp.zeros((t,), jnp.int32).at[perm].set(
                 jnp.arange(t, dtype=jnp.int32))
             half_mask = ranks < t // 2
+        # forced-fused off-TPU (tests/dryrun): interpret mode cannot lower the
+        # hardware PRNG, so dropout is off there; real TPU keeps the ref rates
+        on_tpu = jax.default_backend() == "tpu"
+        pre_rate = PRE_RATE if on_tpu else 0.0
+        gate_rate = GATE_RATE if on_tpu else 0.0
         # dx (input-feature grad) is dead unless x carries the learned
         # stain-encoding columns — skip its matmul + HBM write statically
         return encoder_train(x, params["wsi_embedders"]["pre_attn"],
                              params["wsi_embedders"]["attn"],
                              params["token_projector"], mask_m, seed,
+                             pre_rate, gate_rate,
                              need_dx=bool(cfg.add_stain_encoding),
-                             half_mask=half_mask)
+                             half_mask=half_mask,
+                             row_offset=_row_offset(x.shape[0]))
 
     def _per_modality(feats_m, mask_m, mod_idx, drop_key):
         """One modality's [bs, t, d] bags -> (slide [bs, nv, e], tokens
@@ -200,6 +228,7 @@ def forward_train(
             n_heads=cfg.n_heads, activation=cfg.activation, mask=mask_m,
             n_views=n_views, view_rng=view_rng, dropout_rng=drop_key,
             train=train, return_tokens=True, use_pallas=use_pallas,
+            row_offset=_row_offset(x.shape[0]),
         )
         if n_views == 1:
             pooled = pooled[:, None]              # [bs, 1, nh, e]
@@ -238,6 +267,7 @@ def forward_train(
             n_heads=cfg.n_heads, activation=cfg.activation, mask=mask_f,
             n_views=n_views, view_rng=view_rng, dropout_rng=drop_rng,
             train=True, return_tokens=True, use_pallas=use_pallas,
+            row_offset=_row_offset(x.shape[0]),
         )
         if n_views == 1:
             pooled = pooled[:, None]                  # [bs*n_mod, 1, nh, e]

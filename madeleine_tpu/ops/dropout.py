@@ -92,18 +92,36 @@ hardware_dropout.defvjp(_hd_fwd, _hd_bwd)
 
 
 def dropout(x: jnp.ndarray, rate: float, rng,
-            use_hardware: Optional[bool] = None) -> jnp.ndarray:
+            use_hardware: Optional[bool] = None,
+            row_offset=None) -> jnp.ndarray:
     """Drop-in dropout: hardware kernel on TPU, jax.random elsewhere.
-    `rng` is a jax PRNG key (the scalar seed is derived from it)."""
+    `rng` is a jax PRNG key (the scalar seed is derived from it).
+
+    row_offset: optional i32 scalar — the GLOBAL index of x's first
+    leading-dim row. When given, the software branch draws each row's mask
+    from fold_in(rng, global_row), so a sample's mask is invariant to how the
+    batch is sharded (the shard_map data-parallel train lane passes
+    axis_index * local_rows; the single-device lane passes 0 and produces
+    bit-identical masks). The hardware branch folds the offset into the seed
+    so shards draw decorrelated streams (its per-block program_id seeding is
+    local by construction)."""
     if rate <= 0.0:
         return x
     if use_hardware is None:
         use_hardware = jax.default_backend() == "tpu"
     if use_hardware:
+        if row_offset is not None:
+            rng = jax.random.fold_in(rng, row_offset)
         seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
         return hardware_dropout(x, seed, float(rate))
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
+    if row_offset is None:
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+    else:
+        rows = row_offset + jnp.arange(x.shape[0])
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(rows)
+        mask = jax.vmap(
+            lambda k: jax.random.bernoulli(k, keep, x.shape[1:]))(keys)
     scale = jnp.asarray(1.0 / keep, x.dtype)
     return jnp.where(mask, x * scale, jnp.zeros((), x.dtype))

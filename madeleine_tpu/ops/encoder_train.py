@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from madeleine_tpu.ops.attn_pool import NEG_INF, _head_sums, _normalize_mask, _tile_heads
 from madeleine_tpu.ops.gated_logits import _branch_mask, _gates
 from madeleine_tpu.ops.preattn import (
+    _PROBE_BWD,
     _gauss_cdf,
     _layer_bwd,
     _layer_fwd,
@@ -98,16 +99,29 @@ def _resolve_save_acts(save_acts, b, t, h, E, nhf2, itemsize,
     if save_acts is not None:
         return bool(save_acts)
     saved = b * t * ((2 * h + E + nhf2) * itemsize + 3 * 4)
+    limit = _device_hbm_limit()
+    if os.environ.get("MADELEINE_ENCODER_LOG_SAVE_ACTS"):
+        # measured-vs-estimated guard validation (scripts/bench_train_step.py
+        # --memory): print the guard's arithmetic at trace time so the peak
+        # memory_stats line after the step can be compared against it
+        print(f"[save_acts guard] saved={saved/2**30:.2f} GiB "
+              f"x={x_bytes/2**30:.2f} GiB est_peak=saved+4x="
+              f"{(saved + 4 * x_bytes)/2**30:.2f} GiB "
+              f"limit={(limit or 0)/2**30:.2f} GiB", flush=True)
     if saved > ACT_BUDGET_BYTES:
         return False
-    limit = _device_hbm_limit()
     if limit:
         return saved + 4 * x_bytes <= limit - 2 * 1024**3
     return True
 
 
 def _block_seed(seed_ref, nh: int):
-    blk = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    """seed_ref: SMEM [2] = (base seed, global row offset). The row offset is
+    the shard's first GLOBAL batch row under the shard_map DP lane (0 single
+    device), making every (global row, t-block) draw the same stream no matter
+    how the batch is sharded — N-chip dropout is bit-identical to 1-chip."""
+    blk = ((seed_ref[1] + pl.program_id(0)) * pl.num_programs(1)
+           + pl.program_id(1))
     return seed_ref[0] + blk * (3 + 2 * nh)
 
 
@@ -213,7 +227,13 @@ def _fwd_kernel(seed_ref, x_ref, *rest,
 
     # online-softmax pooling over y (ref: Model.py:406-417); view 0 = whole
     # bag, views 1/2 (n_views=3, ref Model.py:419-440) re-softmax the SAME
-    # logits over two disjoint half-bags via the vb bias columns
+    # logits over two disjoint half-bags via the vb bias columns.
+    # Degenerate corner (documented, not hardened): if a ragged sample's valid
+    # tokens all land in ONE half, the empty view's finite NEG_INF fill makes
+    # l+vb round to exactly NEG_INF, the online max never rises, and that view
+    # pools near-uniformly over all rows incl. t-padding — diverging from the
+    # unfused path (uniform over real-t rows only). Probability ~2^-t_valid
+    # per sample; at the canonical 2048-token bags it is unreachable.
     for v in range(nv):
         lv = l if v == 0 else l + vb_ref[0][:, v - 1:v]
         m_old = m_acc[v:v + 1]
@@ -363,8 +383,11 @@ def _bwd_kernel(seed_ref, x_ref, l_ref, *rest,
         dl_h = dl[:, h:h + 1]
         dwc_ref[h] += jnp.sum((a * b) * dl_h, axis=0)
         dg = dl_h * wc_ref[h][None, :]
-        dza = dg * b * ma * (1.0 - a_pre * a_pre)
-        dzb = dg * a * mb * b_pre * (1.0 - b_pre)
+        if "gates_linear" in _PROBE_BWD:   # probe: gate deriv chains deleted
+            dza, dzb = dg, dg              # (numerically WRONG; see preattn)
+        else:
+            dza = dg * b * ma * (1.0 - a_pre * a_pre)
+            dzb = dg * a * mb * b_pre * (1.0 - b_pre)
         dza_c = dza.astype(dt)
         dzb_c = dzb.astype(dt)
         dyh = jax.lax.dot_general(
@@ -420,7 +443,7 @@ def _wspecs(shapes):
 @functools.partial(jax.jit, static_argnames=(
     "e", "nh", "nv", "pre_rate", "gate_rate", "t_block", "save_acts",
     "interpret"))
-def _fwd_call(x, mask_bias, view_bias, seed, wargs, *, e, nh, nv, pre_rate,
+def _fwd_call(x, mask_bias, view_bias, seed2, wargs, *, e, nh, nv, pre_rate,
               gate_rate, t_block, save_acts=False, interpret=False):
     b, t, d_in = x.shape
     E = e * nh
@@ -508,7 +531,7 @@ def _fwd_call(x, mask_bias, view_bias, seed, wargs, *, e, nh, nv, pre_rate,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed.reshape(1), x_p, *mb_args, *vb_args, *wargs)
+    )(seed2, x_p, *mb_args, *vb_args, *wargs)
     pooled, m, s, tok, l = outs[:5]
     saved = outs[5:] if save_acts else (None, None)
     return pooled, m, s, tok[:, :t], l, saved
@@ -544,7 +567,8 @@ def encoder_train(x: jnp.ndarray, pre, attn, tokp,
                   t_block: int = DEFAULT_T_BLOCK,
                   need_dx: bool = True,
                   save_acts: Optional[bool] = None,
-                  half_mask: Optional[jnp.ndarray] = None):
+                  half_mask: Optional[jnp.ndarray] = None,
+                  row_offset: Optional[jnp.ndarray] = None):
     """Fused training-mode encoder.
 
     x: [b, t, d_in]; pre/attn: abmil subtrees; tokp: token_projector {w, b};
@@ -559,12 +583,16 @@ def encoder_train(x: jnp.ndarray, pre, attn, tokp,
     over half_mask tokens, view 2 over its complement, both re-softmaxing
     the SAME gated logits (two extra bias columns + per-view accumulators
     in the same kernels — no fallback to the unfused chain).
+    row_offset: optional i32 scalar — the GLOBAL batch index of x's row 0.
+    Under the shard_map data-parallel lane each shard passes
+    axis_index * local_rows, so the per-(row, block) dropout streams equal
+    the single-device run's (see _block_seed); default 0.
     Returns (pooled [b, nh, e] — or [b, 3, nh, e] with half_mask — in
     x.dtype, tok [b, t, d_out] in x.dtype).
     """
     (pooled, tok), _ = _enc_fwd(x, pre, attn, tokp, mask, seed,
                                 pre_rate, gate_rate, t_block, need_dx,
-                                save_acts, half_mask)
+                                save_acts, half_mask, row_offset)
     return pooled, tok
 
 
@@ -591,7 +619,7 @@ def _view_bias(half_mask, t):
 
 
 def _enc_fwd(x, pre, attn, tokp, mask, seed, pre_rate, gate_rate, t_block,
-             need_dx=True, save_acts=None, half_mask=None):
+             need_dx=True, save_acts=None, half_mask=None, row_offset=None):
     b, t, _ = x.shape
     nh, e, f = attn["wa"].shape
     h = pre["fc1"]["w"].shape[1]
@@ -601,18 +629,21 @@ def _enc_fwd(x, pre, attn, tokp, mask, seed, pre_rate, gate_rate, t_block,
                               x_bytes=x.size * x.dtype.itemsize)
     wargs = _weight_args(pre, attn, tokp, x.dtype)
     vb = _view_bias(half_mask, t)
+    ro = (jnp.zeros((), jnp.int32) if row_offset is None
+          else jnp.asarray(row_offset, jnp.int32))
+    seed2 = jnp.stack([jnp.asarray(seed, jnp.int32), ro])
     pooled32, m, s, tok, l, saved = _fwd_call(
-        x, _mask_bias(mask, b, t, pad=t % t_block != 0), vb, seed, wargs,
+        x, _mask_bias(mask, b, t, pad=t % t_block != 0), vb, seed2, wargs,
         e=e, nh=nh, nv=nv, pre_rate=pre_rate, gate_rate=gate_rate,
         t_block=t_block, save_acts=save, interpret=_interp())
     pooled = (pooled32.reshape(b, nh, e) if nv == 1
               else pooled32.reshape(b, nv, nh, e)).astype(x.dtype)
-    res = (x, pre, attn, tokp, seed, l, m, s, pooled32, saved, vb)
+    res = (x, pre, attn, tokp, seed2, l, m, s, pooled32, saved, vb)
     return (pooled, tok), res
 
 
 def _enc_bwd(pre_rate, gate_rate, t_block, need_dx, save_acts, res, cots):
-    x, pre, attn, tokp, seed, l, m, s, pooled32, saved, vb = res
+    x, pre, attn, tokp, seed2, l, m, s, pooled32, saved, vb = res
     dpooled, dtok = cots
     b, t, _ = x.shape
     nh, e, f = attn["wa"].shape
@@ -627,7 +658,7 @@ def _enc_bwd(pre_rate, gate_rate, t_block, need_dx, save_acts, res, cots):
         g_flat.reshape(b, nv, nh, e) * pooled32.reshape(b, nv, nh, e),
         axis=-1).reshape(b, nv, nh)
     outs = _bwd_dispatch(
-        x, l, vb, dtok.astype(x.dtype), g_flat, inner, m, s, seed, wargs_bwd,
+        x, l, vb, dtok.astype(x.dtype), g_flat, inner, m, s, seed2, wargs_bwd,
         e=e, nh=nh, nv=nv, d_out=tokp["w"].shape[1],
         pre_rate=pre_rate, gate_rate=gate_rate, t_block=t_block,
         need_dx=need_dx, saved=saved)
@@ -657,7 +688,7 @@ def _enc_bwd(pre_rate, gate_rate, t_block, need_dx, save_acts, res, cots):
     d_tokp = {"w": like(dwt, tokp["w"]), "b": like(dbt, tokp["b"])}
     if dx is None:  # need_dx=False: zero cotangent, DCE'd when x is a leaf
         dx = jnp.zeros_like(x)
-    return dx, d_pre, d_attn, d_tokp, None, None, None
+    return dx, d_pre, d_attn, d_tokp, None, None, None, None
 
 
 encoder_train.defvjp(_enc_fwd, _enc_bwd)
@@ -665,7 +696,7 @@ encoder_train.defvjp(_enc_fwd, _enc_bwd)
 
 @functools.partial(jax.jit, static_argnames=(
     "e", "nh", "nv", "d_out", "pre_rate", "gate_rate", "t_block", "need_dx"))
-def _bwd_dispatch(x, l, vb, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
+def _bwd_dispatch(x, l, vb, dtok, g_flat, inner, m, s, seed2, wargs_bwd, *,
                   e, nh, nv, d_out, pre_rate, gate_rate, t_block,
                   need_dx=True, saved=(None, None)):
     b, t, d_in = x.shape
@@ -754,7 +785,7 @@ def _bwd_dispatch(x, l, vb, dtok, g_flat, inner, m, s, seed, wargs_bwd, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interp(),
-    )(seed.reshape(1), x_p, l_p, *vb_args, dtok_p, g_flat, inner, m, s,
+    )(seed2, x_p, l_p, *vb_args, dtok_p, g_flat, inner, m, s,
       *saved_args, *wargs_bwd)
     dx = outs[0][:, :t] if need_dx else None
     return (dx,) + tuple(outs[1:])

@@ -256,7 +256,7 @@ def gw_distance(
 
 
 def masked_subsample(x: jnp.ndarray, mask: jnp.ndarray, key,
-                     subsample: int) -> jnp.ndarray:
+                     subsample: int, row_offset=None) -> jnp.ndarray:
     """Uniform WITHOUT-replacement draw of `subsample` tokens per sample from
     its valid positions, via masked Gumbel top-k.
 
@@ -267,8 +267,18 @@ def masked_subsample(x: jnp.ndarray, mask: jnp.ndarray, key,
     replacement spirit, wsi_dataset.py:42-50, without the round-2 categorical
     draw's duplicate tokens in short-but-sufficient bags). The reference's own
     subsample (loss.py:281-284) indexes randperm(batch) into the token dim —
-    a documented bug we deliberately do not reproduce."""
-    g = jax.random.gumbel(key, mask.shape)                 # [b, n]
+    a documented bug we deliberately do not reproduce.
+
+    row_offset: optional i32 scalar — global index of x's first row. When
+    given, each sample's Gumbel noise comes from fold_in(key, global_row), so
+    the draw is invariant to batch sharding (shard_map DP lane)."""
+    if row_offset is not None:
+        rows = row_offset + jnp.arange(mask.shape[0])
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(rows)
+        g = jax.vmap(
+            lambda k: jax.random.gumbel(k, mask.shape[1:]))(keys)  # [b, n]
+    else:
+        g = jax.random.gumbel(key, mask.shape)             # [b, n]
     scores = jnp.where(mask, g, _NEG_INF)
     _, idx = jax.lax.top_k(scores, subsample)              # [b, sub] valid-first
     n_valid = jnp.sum(mask, axis=-1, keepdims=True)        # [b, 1]
@@ -335,6 +345,7 @@ def got_loss_multi(
     ot_iterations: int = 30,
     gw_iterations: int = 5,
     gw_ot_iterations: int = 20,
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
     """All stain pairs' GOT in ONE batched transport problem -> per-stain
     losses [S].
@@ -344,7 +355,14 @@ def got_loss_multi(
     per-call batch statistics, loss.py:288-292) — but the ~130 sequential
     Sinkhorn iterations run once over a [S*b, n, m] batch instead of S times
     over [b, n, m], cutting kernel-launch serialization by S x. Inputs are
-    pre-subsampled (see compute_losses)."""
+    pre-subsampled (see compute_losses).
+
+    axis_name: shard_map data-parallel lane — b is then the LOCAL shard's
+    batch rows; the threshold min/max statistics are pmin/pmax'ed across
+    shards and the per-stain sums psum'ed, so the result equals the
+    single-device global-batch computation while the transport kernels run
+    on local shards only (the pallas_calls are opaque to GSPMD, which would
+    otherwise all-gather their operands — round-4 verdict)."""
     S, b, n, d = v.shape
     v32 = v.astype(jnp.float32).reshape(S * b, n, d)
     q32 = q.astype(jnp.float32).reshape(S * b, n, d)
@@ -362,6 +380,14 @@ def got_loss_multi(
         else:
             cmin = jnp.min(Cg, axis=(1, 2, 3))
             cmax = jnp.max(Cg, axis=(1, 2, 3))
+        if axis_name is not None:
+            # global-batch statistics (identical to the unsharded run).
+            # all_gather + min instead of pmin: pmin has no differentiation
+            # rule, and this form routes the threshold subgradient to the
+            # argmin/argmax OWNER shard — the same element the unsharded
+            # jnp.min/jnp.max would pick. [n_dev, S] gathers: trivial bytes.
+            cmin = jnp.min(jax.lax.all_gather(cmin, axis_name), axis=0)
+            cmax = jnp.max(jax.lax.all_gather(cmax, axis_name), axis=0)
         thr = cmin + 0.1 * (cmax - cmin)             # [S]
         return jnp.repeat(thr, b)                    # [S*b]
 
@@ -378,7 +404,7 @@ def got_loss_multi(
     # MADELEINE_NO_GOT_GLUE=1 (branch equality pinned in
     # tests/test_losses_parity.py::test_got_glue_branch_equality).
     fuse = (n * n + m * m + 6 * n * m <= 2 * 1024 * 1024
-            and not int(os.environ.get("MADELEINE_NO_GOT_GLUE", "0")))
+            and not os.environ.get("MADELEINE_NO_GOT_GLUE"))
     if fuse:
         from madeleine_tpu.ops.got_glue import gw_trace, threshold_build
 
@@ -411,7 +437,10 @@ def got_loss_multi(
     total = wd + gwd
     if mask_flat is not None:
         total = jnp.where(mask_flat, total, 0.0)
-    return jnp.sum(total.reshape(S, b), axis=1)              # [S]
+    out = jnp.sum(total.reshape(S, b), axis=1)               # [S]
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)                   # global-batch sum
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -43,6 +43,16 @@ DEFAULT_T_BLOCK = int(os.environ.get("MADELEINE_PREATTN_TBLOCK", "256"))
 _INV_SQRT2 = 2.0 ** -0.5
 _INV_SQRT_2PI = 0.3989422804014327
 
+# --- measurement probes (NEVER for training — numerically WRONG variants) ---
+# MADELEINE_PROBE_BWD: comma-set of {gelu_identity, ln_nocenter, ln_mxu_mean}.
+# The encoder backward runs at 1.41x its matmul floor (BASELINE.md round 4);
+# each probe statically deletes (or restructures) one VPU chain so an on-chip
+# step time bounds what a CORRECT restructure of that chain could ever save.
+# ln_mxu_mean is the one CORRECT variant: row-mean reductions via MXU matvec
+# instead of VPU cross-lane reduce. Results: NOTES.md (round-5 LN experiment).
+_PROBE_BWD = frozenset(
+    p for p in os.environ.get("MADELEINE_PROBE_BWD", "").split(",") if p)
+
 
 def _layer_mask(base_seed, layer: int, shape, rate: float):
     """Inverted-dropout keep-scale in f32 (16-bit hardware-RNG thresholds;
@@ -147,14 +157,30 @@ def _layer_bwd(dout, hin32, res, mask, w_ref, s_ref, prec,
     the dz @ w^T matmul entirely)."""
     u, rstd, v, Phi = res
     dg = dout * mask                          # through dropout
-    dv = dg * _gelu_grad_from_cdf(            # through GELU (shared erf)
-        v, Phi, fast=w_ref.dtype != jnp.float32)
+    if "gelu_identity" in _PROBE_BWD:         # probe: GELU-grad chain deleted
+        dv = dg
+    else:
+        dv = dg * _gelu_grad_from_cdf(        # through GELU (shared erf)
+            v, Phi, fast=w_ref.dtype != jnp.float32)
     ds_ref[...] += jnp.sum(dv * u, axis=0)    # LN affine grads
     dt_ref[...] += jnp.sum(dv, axis=0)
     du = dv * s_ref[...]
     # LN backward: dz = (du - mean(du) - u * mean(du*u)) * rstd
-    dz = (du - jnp.mean(du, axis=-1, keepdims=True)
-          - u * jnp.mean(du * u, axis=-1, keepdims=True)) * rstd
+    if "ln_nocenter" in _PROBE_BWD:           # probe: centering terms deleted
+        dz = du * rstd
+    elif "ln_mxu_mean" in _PROBE_BWD:
+        # correct restructure candidate: both row means as ONE MXU matvec
+        # (row-stacked [2T, h] @ [h, 1]) instead of two VPU cross-lane
+        # reduction trees that serialize with the elementwise chain
+        tt, h = du.shape
+        ones = jnp.full((h, 1), 1.0 / h, jnp.float32)
+        means = jax.lax.dot_general(
+            jnp.concatenate([du, du * u], axis=0), ones,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dz = (du - means[:tt] - u * means[tt:]) * rstd
+    else:
+        dz = (du - jnp.mean(du, axis=-1, keepdims=True)
+              - u * jnp.mean(du * u, axis=-1, keepdims=True)) * rstd
     # weight grad in the COMPUTE dtype (f32 accumulate): at bf16 this is
     # exactly what the unfused XLA backward does (default matmul precision
     # truncates f32 operands to bf16); keeping the operands f32 here ran the

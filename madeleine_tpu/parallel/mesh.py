@@ -60,3 +60,42 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     ds = data_sharded(mesh)
     return {k: jax.device_put(v, ds) if hasattr(v, "shape") else v
             for k, v in batch.items()}
+
+
+def allgather_shapes(hlo_text: str):
+    """All (dtype, element-count) results of all-gather ops in compiled HLO
+    text. Used to PROVE the train step partitions: a pallas_call is opaque to
+    GSPMD, and the failure mode is XLA silently all-gathering the sharded
+    feats operand so every device computes the full global batch (round-4
+    verdict). Legitimate all-gathers in the shard_map lane are the [B, e]
+    embedding gathers for the global-batch InfoNCE — orders of magnitude
+    smaller than a feats shard."""
+    import re
+
+    out = []
+    for line in hlo_text.splitlines():
+        if "all-gather" not in line or "=" not in line:
+            continue
+        lhs = line.split("=", 1)[1]
+        op_pos = lhs.find("all-gather")
+        if op_pos < 0:
+            continue
+        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", lhs[:op_pos]):
+            elems = 1
+            for d in dims.split(","):
+                if d:
+                    elems *= int(d)
+            out.append((dt, elems))
+    return out
+
+
+def assert_no_large_allgather(hlo_text: str, max_elems: int) -> None:
+    """Assert no all-gather in `hlo_text` produces >= max_elems elements.
+    Pass max_elems = one shard of the feats tensor: any all-gather at least
+    that large means a bag-sized operand is being replicated."""
+    big = [(dt, n) for dt, n in allgather_shapes(hlo_text) if n >= max_elems]
+    if big:
+        raise AssertionError(
+            f"compiled HLO all-gathers bag-sized operands {big} "
+            f"(threshold {max_elems} elements) — the train step is "
+            f"replicating, not partitioning")

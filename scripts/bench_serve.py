@@ -32,6 +32,11 @@ def main() -> int:
     ap.add_argument("--bags-per-client", type=int, default=40)
     ap.add_argument("--d", type=int, default=512)
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--buckets", type=str, default="1024,2048,4096,8192",
+                    help="comma-separated bucket sizes; the PRODUCTION "
+                    "mitigation for the bucket-growth p99 tail is a top "
+                    "bucket covering the real length tail, e.g. "
+                    "...,8192,16384 (docs/DEPLOYMENT.md)")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +49,8 @@ def main() -> int:
     cfg = _flagship_cfg()
     params = init_madeleine_params(jax.random.PRNGKey(0), cfg,
                                    dtype=jnp.bfloat16)
-    svc = EmbeddingService(params, cfg, buckets=(1024, 2048, 4096, 8192))
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    svc = EmbeddingService(params, cfg, buckets=buckets)
     if not args.no_warmup:
         t0 = time.time()
         svc.warmup(verbose=False)
@@ -105,7 +111,11 @@ def main() -> int:
     if errs:
         return 1
     assert stats["slides"] >= n_slides
-    assert stats["bucket_growths"] >= 1, "oversize bag did not grow a bucket"
+    if max(buckets) < 9000:
+        assert stats["bucket_growths"] >= 1, "oversize bag did not grow a bucket"
+    else:
+        # mitigated config: the tail fits a configured (warmed) bucket
+        assert stats["bucket_growths"] == 0, stats
     svc.close()
     return 0
 

@@ -41,7 +41,14 @@ def main() -> None:
                     choices=("softmax", "relu", "sigmoid", "leaky_relu"),
                     help="non-softmax picks the unfused fallback chain")
     ap.add_argument("--profile-dir", default=None)
+    ap.add_argument("--memory", action="store_true",
+                    help="report the device HBM high-water mark after the "
+                         "steps next to the save_acts guard's saved+4*x "
+                         "estimate (ops/encoder_train._resolve_save_acts) — "
+                         "validates the guard constants with a measurement")
     args = ap.parse_args()
+    if args.memory:
+        os.environ["MADELEINE_ENCODER_LOG_SAVE_ACTS"] = "1"
 
     import jax
     import jax.numpy as jnp
@@ -106,6 +113,17 @@ def main() -> None:
     ep = np.median(times) * (4211 // bs + 1)
     print(f"-> est. ACROBAT epoch {ep:.1f} s, 120 epochs {ep*120/60:.1f} min "
           f"on ONE chip")
+
+    if args.memory:
+        ms = jax.devices()[0].memory_stats() or {}
+        peak = ms.get("peak_bytes_in_use")
+        lim = ms.get("bytes_limit")
+        if peak:
+            print(f"[memory] peak_bytes_in_use={peak/2**30:.2f} GiB "
+                  f"limit={(lim or 0)/2**30:.2f} GiB "
+                  f"(compare to the [save_acts guard] est_peak line above)")
+        else:
+            print(f"[memory] memory_stats unavailable on this device: {ms}")
 
 
 if __name__ == "__main__":
