@@ -103,13 +103,26 @@ def main() -> int:
     rows = []
     for name, env_val in PROBES:
         env = dict(os.environ, MADELEINE_PROBE_BWD=env_val)
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one"],
-            env=env, capture_output=True, text=True, timeout=1800)
-        line = [ln for ln in r.stdout.splitlines()
-                if ln.startswith("{")]
-        if r.returncode != 0 or not line:
-            print(f"{name}: FAILED\n{r.stdout[-800:]}\n{r.stderr[-800:]}")
+        # the axon tunnel's remote-compile endpoint drops occasionally
+        # (UNAVAILABLE/Broken pipe) — retry each variant a few times with a
+        # backoff rather than losing a 2-hour sweep to one blip
+        line = []
+        for attempt in range(3):
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--one"],
+                    env=env, capture_output=True, text=True, timeout=2700)
+            except subprocess.TimeoutExpired:
+                print(f"{name}: attempt {attempt} timed out", flush=True)
+                continue
+            line = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("{")]
+            if r.returncode == 0 and line:
+                break
+            print(f"{name}: attempt {attempt} failed\n{r.stdout[-400:]}\n"
+                  f"{r.stderr[-400:]}", flush=True)
+            time.sleep(120 * (attempt + 1))
+        if not line:
             rows.append({"probe": name, "error": True})
             continue
         rec = json.loads(line[-1])
