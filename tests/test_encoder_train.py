@@ -235,6 +235,46 @@ def test_need_dx_false_same_weight_grads(setup):
     assert np.any(np.asarray(g_full[0]) != 0.0)
 
 
+def test_ln_mxu_mean_probe_grads_match_default(setup):
+    """MADELEINE_PROBE_BWD=ln_mxu_mean is the one CORRECT restructure in the
+    bwd probe sweep (LN row means via an MXU matvec instead of VPU cross-lane
+    reduction trees — scripts/bench_probe_bwd.py, round-5 verdict item 4);
+    its full gradients must match the default LN backward. The probe set is
+    read at trace time, so caches are cleared around the swap."""
+    from madeleine_tpu.ops import encoder_train as et
+    from madeleine_tpu.ops import preattn as pa
+
+    params, tokp, x, mask = setup
+
+    def loss(x, pre, attn, tokp):
+        p, t = et.encoder_train(x, pre, attn, tokp, mask, jnp.int32(7), 0.0,
+                                0.0, T_BLOCK)
+        return jnp.sum(jnp.sin(p)) + jnp.sum(jnp.cos(t) * 0.01)
+
+    args = (x, params["pre_attn"], params["attn"], tokp)
+    g_def = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+
+    saved = pa._PROBE_BWD
+    probe = frozenset({"ln_mxu_mean"})
+    try:
+        pa._PROBE_BWD = probe
+        et._PROBE_BWD = probe
+        jax.clear_caches()
+        g_mxu = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+    finally:
+        pa._PROBE_BWD = saved
+        et._PROBE_BWD = saved
+        jax.clear_caches()  # drop probe-traced executables
+
+    for (path, vd), (_, vm) in zip(
+            jax.tree_util.tree_flatten_with_path(g_def)[0],
+            jax.tree_util.tree_flatten_with_path(g_mxu)[0]):
+        scale = max(1.0, float(jnp.max(jnp.abs(vd))))
+        np.testing.assert_allclose(
+            np.asarray(vm), np.asarray(vd), rtol=1e-5, atol=1e-5 * scale,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_save_acts_budget_boundary(setup, monkeypatch):
     """save_acts=None auto-resolution (round-3 verdict weak #5): the flip at
     ACT_BUDGET_BYTES must land exactly (<= saves, > recomputes), the HBM
